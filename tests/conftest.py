@@ -7,7 +7,9 @@ before jax initializes, hence the env mutation at import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session environment points at a TPU tunnel
+# (JAX_PLATFORMS=axon): unit tests must be fast and deterministic.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Determinism + fp32 matmuls for parity tests.
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
+import jax  # noqa: E402
+
+# The axon sitecustomize registers the TPU-tunnel backend at interpreter
+# start and pins jax to it; the env var alone does not undo that.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
