@@ -1,0 +1,102 @@
+"""Torch/HF checkpoint → flax parameter conversion helpers.
+
+Used both by the checkpoint-porting tools (HF ``rdt-1b``, DinoV2, SigLIP
+weights) and by the parity test-suite, which instantiates torch layers with
+the reference's architecture and checks our modules reproduce them.
+
+All functions take numpy arrays (call ``.detach().numpy()`` on torch tensors
+first) and return flax-layout dicts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def linear(weight: np.ndarray, bias: np.ndarray | None = None) -> dict:
+    """torch ``nn.Linear`` (out, in) -> flax ``Dense`` {kernel (in, out), bias}."""
+    out = {"kernel": np.ascontiguousarray(weight.T)}
+    if bias is not None:
+        out["bias"] = np.asarray(bias)
+    return out
+
+
+def rmsnorm(weight: np.ndarray) -> dict:
+    return {"weight": np.asarray(weight)}
+
+
+def layernorm(weight: np.ndarray, bias: np.ndarray) -> dict:
+    return {"scale": np.asarray(weight), "bias": np.asarray(bias)}
+
+
+def groupnorm(weight: np.ndarray, bias: np.ndarray) -> dict:
+    return {"weight": np.asarray(weight), "bias": np.asarray(bias)}
+
+
+def conv1d(weight: np.ndarray, bias: np.ndarray | None = None) -> dict:
+    """torch ``nn.Conv1d`` weight (out, in, k) -> flax ``Conv`` kernel (k, in, out)."""
+    out = {"kernel": np.ascontiguousarray(weight.transpose(2, 1, 0))}
+    if bias is not None:
+        out["bias"] = np.asarray(bias)
+    return out
+
+
+def conv_transpose1d(weight: np.ndarray, bias: np.ndarray | None = None) -> dict:
+    """torch ``nn.ConvTranspose1d`` weight (in, out, k) -> flax ``ConvTranspose``
+    kernel (k, in, out), spatially flipped (torch's transposed conv scatters
+    with the unflipped kernel; flax's conv_transpose correlates)."""
+    w = weight[:, :, ::-1]  # flip k
+    out = {"kernel": np.ascontiguousarray(w.transpose(2, 0, 1))}
+    if bias is not None:
+        out["bias"] = np.asarray(bias)
+    return out
+
+
+def lstm(state_dict: dict, num_layers: int, prefix: str = "") -> dict:
+    """torch ``nn.LSTM`` state-dict -> :class:`StackedLSTM` params.
+
+    Torch packs gates as (i, f, g, o) rows of ``weight_ih_l{n}`` (4H, in) and
+    ``weight_hh_l{n}`` (4H, H) with two bias vectors; our cell uses two Dense
+    layers ``ih``/``hh`` with the same gate order, so this is a transpose.
+    """
+    params = {}
+    for n in range(num_layers):
+        w_ih = np.asarray(state_dict[f"{prefix}weight_ih_l{n}"])
+        w_hh = np.asarray(state_dict[f"{prefix}weight_hh_l{n}"])
+        b_ih = np.asarray(state_dict[f"{prefix}bias_ih_l{n}"])
+        b_hh = np.asarray(state_dict[f"{prefix}bias_hh_l{n}"])
+        params[f"layer{n}"] = {
+            "ih": {"kernel": np.ascontiguousarray(w_ih.T), "bias": b_ih},
+            # torch adds both biases; fold b_hh into the hh Dense.
+            "hh": {"kernel": np.ascontiguousarray(w_hh.T), "bias": b_hh},
+        }
+    return params
+
+
+def timm_attention(sd: dict, prefix: str = "") -> dict:
+    """timm ``Attention`` (fused qkv + qk RmsNorm + proj) -> SelfAttention."""
+    return {
+        "qkv": linear(sd[f"{prefix}qkv.weight"], sd.get(f"{prefix}qkv.bias")),
+        "q_norm": rmsnorm(sd[f"{prefix}q_norm.weight"]),
+        "k_norm": rmsnorm(sd[f"{prefix}k_norm.weight"]),
+        "proj": linear(sd[f"{prefix}proj.weight"], sd.get(f"{prefix}proj.bias")),
+    }
+
+
+def cross_attention(sd: dict, prefix: str = "") -> dict:
+    """Reference ``CrossAttention`` (blocks.py:72-101) -> CrossAttention."""
+    return {
+        "q": linear(sd[f"{prefix}q.weight"], sd.get(f"{prefix}q.bias")),
+        "kv": linear(sd[f"{prefix}kv.weight"], sd.get(f"{prefix}kv.bias")),
+        "q_norm": rmsnorm(sd[f"{prefix}q_norm.weight"]),
+        "k_norm": rmsnorm(sd[f"{prefix}k_norm.weight"]),
+        "proj": linear(sd[f"{prefix}proj.weight"], sd.get(f"{prefix}proj.bias")),
+    }
+
+
+def mlp(sd: dict, prefix: str = "") -> dict:
+    """timm ``Mlp`` -> Mlp (fc1/fc2)."""
+    return {
+        "fc1": linear(sd[f"{prefix}fc1.weight"], sd.get(f"{prefix}fc1.bias")),
+        "fc2": linear(sd[f"{prefix}fc2.weight"], sd.get(f"{prefix}fc2.bias")),
+    }
