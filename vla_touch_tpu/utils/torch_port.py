@@ -94,6 +94,66 @@ def cross_attention(sd: dict, prefix: str = "") -> dict:
     }
 
 
+def _conv_block(sd: dict, prefix: str) -> dict:
+    """Reference ``Conv1dBlock`` (Sequential: conv, GroupNorm, Mish)."""
+    return {
+        "conv": {"conv": conv1d(sd[f"{prefix}.block.0.weight"],
+                                sd[f"{prefix}.block.0.bias"])},
+        "gn": groupnorm(sd[f"{prefix}.block.1.weight"],
+                        sd[f"{prefix}.block.1.bias"]),
+    }
+
+
+def _cond_res_block(sd: dict, prefix: str) -> dict:
+    """Reference ``ConditionalResidualBlock1D`` -> our block params."""
+    out = {
+        "block0": _conv_block(sd, f"{prefix}.blocks.0"),
+        "block1": _conv_block(sd, f"{prefix}.blocks.1"),
+        "cond_encoder": linear(sd[f"{prefix}.cond_encoder.1.weight"],
+                               sd[f"{prefix}.cond_encoder.1.bias"]),
+    }
+    if f"{prefix}.residual_conv.weight" in sd:
+        out["residual_conv"] = {
+            "conv": conv1d(sd[f"{prefix}.residual_conv.weight"],
+                           sd[f"{prefix}.residual_conv.bias"])
+        }
+    return out
+
+
+def unet1d(sd: dict, num_levels: int, prefix: str = "",
+           use_timestep: bool = True) -> dict:
+    """Reference ``DiffusionConditionalUnet1D`` state dict -> ConditionalUnet1D
+    params (``conditional_unet_1D.py:108-247``)."""
+    p: dict = {}
+    if use_timestep:
+        p["step_fc1"] = linear(sd[f"{prefix}diffusion_step_encoder.1.weight"],
+                               sd[f"{prefix}diffusion_step_encoder.1.bias"])
+        p["step_fc2"] = linear(sd[f"{prefix}diffusion_step_encoder.3.weight"],
+                               sd[f"{prefix}diffusion_step_encoder.3.bias"])
+    for i in range(num_levels):
+        p[f"down{i}_res0"] = _cond_res_block(sd, f"{prefix}down_modules.{i}.0")
+        p[f"down{i}_res1"] = _cond_res_block(sd, f"{prefix}down_modules.{i}.1")
+        if f"{prefix}down_modules.{i}.2.conv.weight" in sd:
+            p[f"down{i}_down"] = {
+                "conv": conv1d(sd[f"{prefix}down_modules.{i}.2.conv.weight"],
+                               sd[f"{prefix}down_modules.{i}.2.conv.bias"])
+            }
+    p["mid0"] = _cond_res_block(sd, f"{prefix}mid_modules.0")
+    p["mid1"] = _cond_res_block(sd, f"{prefix}mid_modules.1")
+    for i in range(num_levels - 1):
+        p[f"up{i}_res0"] = _cond_res_block(sd, f"{prefix}up_modules.{i}.0")
+        p[f"up{i}_res1"] = _cond_res_block(sd, f"{prefix}up_modules.{i}.1")
+        if f"{prefix}up_modules.{i}.2.conv.weight" in sd:
+            p[f"up{i}_up"] = {
+                "conv": conv_transpose1d(sd[f"{prefix}up_modules.{i}.2.conv.weight"],
+                                         sd[f"{prefix}up_modules.{i}.2.conv.bias"])
+            }
+    p["final_block"] = _conv_block(sd, f"{prefix}final_conv.0")
+    p["final_conv"] = {"conv": conv1d(sd[f"{prefix}final_conv.1.weight"],
+                                      sd[f"{prefix}final_conv.1.bias"])}
+    return p
+
+
 def mlp(sd: dict, prefix: str = "") -> dict:
     """timm ``Mlp`` -> Mlp (fc1/fc2)."""
     return {
