@@ -1,0 +1,97 @@
+"""Directory checkpoints for parameter pytrees + JSON metadata.
+
+Mirrors the reference's controller checkpoint contract
+(``bridge_controller.py:203-244``: ``controller.pt`` with encoder weights,
+normalization stats and model_args, plus ``bridge_model.pt`` with net + EMA)
+using flax msgpack serialization instead of torch pickles, and adds the
+best/periodic/limit semantics of the trainers
+(``bridge_train.py:215-265``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import re
+import shutil
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_numpy_tree(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(_to_numpy_tree(tree)))
+
+
+def load_pytree(path: str, target: Any) -> Any:
+    """Load into the structure of ``target`` (shapes/dtypes validated)."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(target, f.read())
+
+
+def save_json(path: str, obj: Any) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def default(o):
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        if isinstance(o, (np.floating, np.integer)):
+            return o.item()
+        if dataclasses.is_dataclass(o):
+            return dataclasses.asdict(o)
+        raise TypeError(type(o))
+
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=2, default=default)
+
+
+def load_json(path: str) -> Any:
+    with open(path) as f:
+        return json.load(f)
+
+
+def save_stats(path: str, stats: dict) -> None:
+    save_json(path, {k: np.asarray(v).tolist() for k, v in stats.items()})
+
+
+def load_stats(path: str) -> dict:
+    return {k: np.asarray(v, np.float32) for k, v in load_json(path).items()}
+
+
+# ---- step-numbered checkpoint directories (RDT trainer semantics) -------------
+
+_CKPT_RE = re.compile(r"^checkpoint-(\d+)$")
+
+
+def list_checkpoints(root: str) -> list:
+    """Sorted (step, path) pairs of ``checkpoint-<n>`` dirs under root."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        m = _CKPT_RE.match(name)
+        if m:
+            out.append((int(m.group(1)), os.path.join(root, name)))
+    return sorted(out)
+
+
+def latest_checkpoint(root: str) -> Optional[str]:
+    cks = list_checkpoints(root)
+    return cks[-1][1] if cks else None
+
+
+def prune_checkpoints(root: str, total_limit: int) -> None:
+    """Delete oldest ``checkpoint-*`` dirs beyond ``total_limit``
+    (ProjectConfiguration semantics, ``train/train.py:82``)."""
+    cks = list_checkpoints(root)
+    for _, path in cks[: max(0, len(cks) - total_limit)]:
+        shutil.rmtree(path, ignore_errors=True)
