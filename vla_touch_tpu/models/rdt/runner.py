@@ -1,0 +1,204 @@
+"""RDT runner: condition adaptors + diffusion training/sampling.
+
+TPU-native equivalent of ``/root/reference/VLA/models/rdt_runner.py``:
+
+- three condition adaptors (``linear`` or ``mlp{N}x_gelu``) lifting language /
+  image / state-action tokens to the hidden width; the state adaptor sees
+  [state ⊕ mask indicator] (2×state_token_dim) — ``rdt_runner.py:55-59``;
+- training loss = MSE between the transformer output and the
+  ``prediction_type`` target under DDPM forward noising
+  (``rdt_runner.py:168-222``);
+- ``predict_action``: DPM-Solver++ sampling where every solver step re-adapts
+  the noisy action chunk and re-runs the full transformer
+  (``rdt_runner.py:122-165``) — here compiled as ONE ``jax.lax.scan`` so the
+  whole denoise loop is a single XLA program (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from vla_touch_tpu.config import NoiseSchedulerConfig, RDTModelConfig
+from vla_touch_tpu.models.rdt.model import RDT
+from vla_touch_tpu.ops import schedulers as sched_lib
+
+
+class ConditionAdapter(fnn.Module):
+    """``linear`` or ``mlp{N}x_gelu`` projector (``rdt_runner.py:88-106``).
+
+    Parameter names: fc0..fc{N-1} with tanh-GELU between (GELU(approximate
+    ='tanh'), matching the torch construction).
+    """
+
+    projector_type: str
+    out_features: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x):
+        if self.projector_type == "linear":
+            depth = 1
+        else:
+            m = re.match(r"^mlp(\d+)x_gelu$", self.projector_type)
+            if not m:
+                raise ValueError(f"Unknown projector type: {self.projector_type}")
+            depth = int(m.group(1))
+        x = x.astype(self.dtype)
+        for i in range(depth):
+            if i > 0:
+                x = fnn.gelu(x, approximate=True)
+            x = fnn.Dense(self.out_features, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name=f"fc{i}")(x)
+        return x
+
+
+class RDTRunnerModule(fnn.Module):
+    """RDT + adaptors as one flax module (parameters port 1:1 from the
+    reference's ``model`` / ``lang_adaptor`` / ``img_adaptor`` /
+    ``state_adaptor`` submodules)."""
+
+    cfg: RDTModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        kw = dict(dtype=cfg.compute_dtype, param_dtype=jnp.float32)
+        self.model = RDT(cfg, name="model")
+        self.lang_adaptor = ConditionAdapter(
+            cfg.lang_adaptor, cfg.hidden_size, name="lang_adaptor", **kw)
+        self.img_adaptor = ConditionAdapter(
+            cfg.img_adaptor, cfg.hidden_size, name="img_adaptor", **kw)
+        self.state_adaptor = ConditionAdapter(
+            cfg.state_adaptor, cfg.hidden_size, name="state_adaptor", **kw)
+
+    def adapt_conditions(self, lang_tokens, img_tokens, state_tokens):
+        return (self.lang_adaptor(lang_tokens),
+                self.img_adaptor(img_tokens),
+                self.state_adaptor(state_tokens))
+
+    def adapt_state(self, state_tokens):
+        return self.state_adaptor(state_tokens)
+
+    def forward_model(self, x, freq, t, lang_c, img_c, lang_mask=None):
+        return self.model(x, freq, t, lang_c, img_c, lang_mask=lang_mask)
+
+    def __call__(self, lang_tokens, img_tokens, state_action_traj, ctrl_freqs,
+                 timesteps, lang_mask=None):
+        """Adapted full forward (training path)."""
+        lang_c, img_c, x = self.adapt_conditions(
+            lang_tokens, img_tokens, state_action_traj)
+        return self.forward_model(x, ctrl_freqs, timesteps, lang_c, img_c,
+                                  lang_mask)
+
+
+@dataclasses.dataclass(frozen=True)
+class RDTRunnerConfig:
+    model: RDTModelConfig = dataclasses.field(default_factory=RDTModelConfig)
+    noise: NoiseSchedulerConfig = dataclasses.field(
+        default_factory=NoiseSchedulerConfig)
+
+
+def init_rdt(cfg: RDTRunnerConfig, key):
+    module = RDTRunnerModule(cfg.model)
+    m = cfg.model
+    B = 1
+    params = module.init(
+        key,
+        jnp.zeros((B, 4, m.lang_token_dim)),
+        jnp.zeros((B, m.img_cond_len, m.img_token_dim)),
+        jnp.zeros((B, m.horizon + 1, m.state_token_dim * 2)),
+        jnp.zeros((B,), jnp.float32),
+        jnp.zeros((B,), jnp.int32),
+    )["params"]
+    return params
+
+
+def rdt_compute_loss(cfg: RDTRunnerConfig, params, key, batch):
+    """Training loss (``rdt_runner.py:168-222``).
+
+    ``batch``: lang_tokens (B, L, Dl), lang_mask (B, L) bool, img_tokens
+    (B, Li, Di), state_tokens (B, 1, 128), action_gt (B, H, 128), action_mask
+    (B, 1, 128) float, ctrl_freqs (B,).
+    """
+    module = RDTRunnerModule(cfg.model)
+    noise_sched = sched_lib.DiffusionSchedule.create(
+        cfg.noise.num_train_timesteps, cfg.noise.beta_schedule)
+    k_noise, k_t = jax.random.split(key)
+    action_gt = batch["action_gt"].astype(jnp.float32)
+    B, H, D = action_gt.shape
+
+    noise = jax.random.normal(k_noise, action_gt.shape, jnp.float32)
+    timesteps = jax.random.randint(
+        k_t, (B,), 0, cfg.noise.num_train_timesteps)
+    noisy_action = noise_sched.add_noise(action_gt, noise, timesteps)
+
+    state_action = jnp.concatenate(
+        [batch["state_tokens"].astype(jnp.float32), noisy_action], axis=1)
+    mask = jnp.broadcast_to(batch["action_mask"].astype(jnp.float32),
+                            state_action.shape)
+    state_action = jnp.concatenate([state_action, mask], axis=2)
+
+    pred = module.apply(
+        {"params": params}, batch["lang_tokens"], batch["img_tokens"],
+        state_action, batch["ctrl_freqs"], timesteps,
+        lang_mask=batch.get("lang_mask"))
+
+    if cfg.noise.prediction_type == "epsilon":
+        target = noise
+    elif cfg.noise.prediction_type == "sample":
+        target = action_gt
+    else:
+        raise ValueError(cfg.noise.prediction_type)
+    return jnp.mean(jnp.square(pred.astype(jnp.float32) - target))
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_inference_timesteps"))
+def rdt_predict_action(cfg: RDTRunnerConfig, params, key, lang_tokens,
+                       lang_mask, img_tokens, state_tokens, action_mask,
+                       ctrl_freqs,
+                       num_inference_timesteps: Optional[int] = None):
+    """Full action-chunk inference as one compiled program
+    (``rdt_runner.py:225-250`` + ``conditional_sample`` :122-165).
+
+    state_tokens (B, 1, 128); action_mask (B, 1, 128) float; returns
+    (B, horizon, 128).
+    """
+    m = cfg.model
+    module = RDTRunnerModule(m)
+    steps = num_inference_timesteps or cfg.noise.num_inference_timesteps
+    noise_sched = sched_lib.DiffusionSchedule.create(
+        cfg.noise.num_train_timesteps, cfg.noise.beta_schedule)
+
+    B = state_tokens.shape[0]
+    # Adapt the fixed conditions once, outside the scan.
+    state_in = jnp.concatenate(
+        [state_tokens, action_mask.astype(state_tokens.dtype)], axis=2)
+    lang_c, img_c, state_traj = module.apply(
+        {"params": params}, lang_tokens, img_tokens, state_in,
+        method=RDTRunnerModule.adapt_conditions)
+
+    mask_h = jnp.broadcast_to(action_mask.astype(jnp.float32),
+                              (B, m.horizon, m.output_dim))
+
+    def model_fn(noisy_action, t):
+        action_in = jnp.concatenate([noisy_action, mask_h], axis=2)
+        action_traj = module.apply({"params": params}, action_in,
+                                   method=RDTRunnerModule.adapt_state)
+        x = jnp.concatenate([state_traj, action_traj], axis=1)
+        out = module.apply({"params": params}, x, ctrl_freqs, t, lang_c,
+                           img_c, lang_mask,
+                           method=RDTRunnerModule.forward_model)
+        return out.astype(jnp.float32)
+
+    noisy = jax.random.normal(key, (B, m.horizon, m.output_dim), jnp.float32)
+    action = sched_lib.sample_dpm_solver(
+        model_fn, noisy, noise_sched, steps,
+        prediction_type=cfg.noise.prediction_type)
+    return action * mask_h

@@ -56,16 +56,29 @@ def make_betas(num_train_timesteps: int,
     raise ValueError(f"Unknown beta_schedule: {beta_schedule}")
 
 
-@jax.tree_util.register_dataclass
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["alphas_cumprod"],
+         meta_fields=["num_train_timesteps", "beta_schedule", "beta_start",
+                      "beta_end"])
 @dataclasses.dataclass(frozen=True)
 class DiffusionSchedule:
-    """Precomputed schedule tables (all float32, length = num_train_timesteps)."""
+    """Precomputed schedule tables (all float32, length = num_train_timesteps).
+
+    The beta-schedule config rides along as static pytree metadata so solver
+    tables can be (re)computed in pure numpy even when the schedule object is
+    captured inside a jitted function.
+    """
 
     alphas_cumprod: jax.Array
+    num_train_timesteps: int = 1000
+    beta_schedule: str = "squaredcos_cap_v2"
+    beta_start: float = 0.0001
+    beta_end: float = 0.02
 
-    @property
-    def num_train_timesteps(self) -> int:
-        return self.alphas_cumprod.shape[0]
+    def alphas_cumprod_np(self) -> np.ndarray:
+        betas = make_betas(self.num_train_timesteps, self.beta_schedule,
+                           self.beta_start, self.beta_end)
+        return np.cumprod(1.0 - betas)
 
     @classmethod
     def create(cls, num_train_timesteps: int = 1000,
@@ -73,7 +86,10 @@ class DiffusionSchedule:
                beta_start: float = 0.0001, beta_end: float = 0.02):
         betas = make_betas(num_train_timesteps, beta_schedule, beta_start, beta_end)
         acp = np.cumprod(1.0 - betas)
-        return cls(alphas_cumprod=jnp.asarray(acp, dtype=jnp.float32))
+        return cls(alphas_cumprod=jnp.asarray(acp, dtype=jnp.float32),
+                   num_train_timesteps=num_train_timesteps,
+                   beta_schedule=beta_schedule, beta_start=beta_start,
+                   beta_end=beta_end)
 
     # ---- DDPM forward process (training) ------------------------------------
     def add_noise(self, x0, noise, timesteps):
@@ -121,9 +137,12 @@ def make_dpm_tables(schedule: DiffusionSchedule, num_inference_steps: int,
                     lower_order_final: bool = True,
                     final_sigma: Literal["zero", "sigma_min"] = "zero",
                     ) -> DPMSolverTables:
-    """Precompute the solver tables ("linspace" timestep spacing)."""
+    """Precompute the solver tables ("linspace" timestep spacing).
+
+    Pure numpy (works at trace time inside jit).
+    """
     T = schedule.num_train_timesteps
-    acp = np.asarray(schedule.alphas_cumprod, dtype=np.float64)
+    acp = schedule.alphas_cumprod_np().astype(np.float64)
     # Descending train-timestep grid, matching diffusers' "linspace" spacing.
     timesteps = (
         np.linspace(0, T - 1, num_inference_steps + 1)

@@ -94,6 +94,58 @@ def cross_attention(sd: dict, prefix: str = "") -> dict:
     }
 
 
+def rdt_block(sd: dict, prefix: str) -> dict:
+    """Reference ``RDTBlock`` (blocks.py:144-183) -> our RDTBlock params."""
+    return {
+        "norm1": rmsnorm(sd[f"{prefix}norm1.weight"]),
+        "attn": timm_attention(sd, f"{prefix}attn."),
+        "norm2": rmsnorm(sd[f"{prefix}norm2.weight"]),
+        "cross_attn": cross_attention(sd, f"{prefix}cross_attn."),
+        "norm3": rmsnorm(sd[f"{prefix}norm3.weight"]),
+        "ffn": mlp(sd, f"{prefix}ffn."),
+    }
+
+
+def timestep_embedder(sd: dict, prefix: str) -> dict:
+    """Reference ``TimestepEmbedder`` (mlp.0 / mlp.2) -> fc1/fc2."""
+    return {
+        "fc1": linear(sd[f"{prefix}mlp.0.weight"], sd[f"{prefix}mlp.0.bias"]),
+        "fc2": linear(sd[f"{prefix}mlp.2.weight"], sd[f"{prefix}mlp.2.bias"]),
+    }
+
+
+def condition_adapter(sd: dict, prefix: str, depth: int) -> dict:
+    """``linear``/``mlp{N}x_gelu`` Sequential -> ConditionAdapter fc{i}.
+
+    Torch layout: Linear at Sequential indices 0, 2, 4, ... (GELUs between).
+    A bare ``linear`` adaptor has no ``.N.`` index in its keys.
+    """
+    if f"{prefix}weight" in sd:  # bare nn.Linear
+        return {"fc0": linear(sd[f"{prefix}weight"], sd[f"{prefix}bias"])}
+    out = {}
+    for i in range(depth):
+        out[f"fc{i}"] = linear(sd[f"{prefix}{2 * i}.weight"],
+                               sd[f"{prefix}{2 * i}.bias"])
+    return out
+
+
+def rdt_model(sd: dict, depth: int, prefix: str = "") -> dict:
+    """Full reference ``RDT`` state dict -> our RDT params
+    (``model.py:22-124``)."""
+    p = {
+        "t_embedder": timestep_embedder(sd, f"{prefix}t_embedder."),
+        "freq_embedder": timestep_embedder(sd, f"{prefix}freq_embedder."),
+        "x_pos_embed": np.asarray(sd[f"{prefix}x_pos_embed"]),
+        "lang_cond_pos_embed": np.asarray(sd[f"{prefix}lang_cond_pos_embed"]),
+        "img_cond_pos_embed": np.asarray(sd[f"{prefix}img_cond_pos_embed"]),
+        "final_norm": rmsnorm(sd[f"{prefix}final_norm.weight"]),
+        "final_ffn": mlp(sd, f"{prefix}final_ffn."),
+    }
+    for i in range(depth):
+        p[f"block{i}"] = rdt_block(sd, f"{prefix}blocks.{i}.")
+    return p
+
+
 def _conv_block(sd: dict, prefix: str) -> dict:
     """Reference ``Conv1dBlock`` (Sequential: conv, GroupNorm, Mish)."""
     return {
