@@ -1,0 +1,105 @@
+"""End-to-end benchmark: p50 action-chunk latency (RDT-1B + BRIDGeR refine).
+
+Runs on the real TPU chip and prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
+
+The measured pipeline is the deployment hot path (SURVEY.md §3.2 + §3.3):
+one full RDT-1B action-chunk generation (5-step DPM-Solver++ over the
+1.2B-param transformer, bf16) followed by one BRIDGeR refinement (10-step
+Euler–Maruyama SDE over the triple UNet-1D).  Latency includes the
+device→host fetch of the refined chunk (the control loop consumes actions on
+host).
+
+``vs_baseline``: the reference repo publishes no numbers (BASELINE.md); the
+comparison constant below is an estimate of the reference PyTorch stack's
+p50 on A100 for the same pipeline — RDT-1B reports ~6 Hz chunk inference on
+its deployment GPU (≈166 ms) plus the BRIDGeR SDE (10 steps × 2 UNet
+forwards, ≈35 ms measured class on A100-class hardware) ≈ 200 ms total.
+vs_baseline = estimated_reference_ms / our_ms (>1 means faster).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_A100_MS_ESTIMATE = 200.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vla_touch_tpu.config import (
+        BridgeControllerConfig, NoiseSchedulerConfig, rdt_1b)
+    from vla_touch_tpu.models.controllers import bridge as BR
+    from vla_touch_tpu.models.rdt import runner as R
+
+    rng = np.random.default_rng(0)
+    rcfg = R.RDTRunnerConfig(model=rdt_1b(), noise=NoiseSchedulerConfig())
+    m = rcfg.model
+
+    params = jax.jit(lambda k: R.init_rdt(rcfg, k))(jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+
+    bcfg = BridgeControllerConfig()
+    bst = BR.init_bridge_controller(bcfg, jax.random.PRNGKey(1))
+    stats = {
+        "vla_mins": np.zeros(10, np.float32), "vla_maxs": np.ones(10, np.float32),
+        "action_mins": np.zeros(10, np.float32),
+        "action_maxs": np.ones(10, np.float32),
+    }
+
+    B, Ll = 1, 64
+    lang = jnp.asarray(rng.normal(size=(B, Ll, m.lang_token_dim)), jnp.bfloat16)
+    lang_mask = jnp.ones((B, Ll), bool)
+    img = jnp.asarray(rng.normal(size=(B, m.img_cond_len, m.img_token_dim)),
+                      jnp.bfloat16)
+    state128 = jnp.asarray(rng.normal(size=(B, 1, m.state_token_dim)),
+                           jnp.bfloat16)
+    amask = np.zeros((B, 1, m.output_dim), np.float32)
+    amask[:, :, 30:40] = 1.0  # Franka EEF slots (30..38) + gripper slot 10 elsewhere
+    amask = jnp.asarray(amask)
+    freqs = jnp.full((B,), 10.0, jnp.float32)
+
+    state10 = jnp.asarray(rng.normal(size=(B, 10)), jnp.float32)
+    cam1 = jnp.asarray(rng.normal(size=(B, bcfg.visual_dim)), jnp.float32)
+    cam2 = jnp.asarray(rng.normal(size=(B, bcfg.visual_dim)), jnp.float32)
+    forces = jnp.asarray(rng.normal(size=(B, 3)), jnp.float32)
+
+    def pipeline(key):
+        k1, k2 = jax.random.split(key)
+        chunk128 = R.rdt_predict_action(rcfg, params, k1, lang, lang_mask,
+                                        img, state128, amask, freqs)
+        # Take the 10 Franka dims of the first 16 steps for refinement
+        # (the deployment loop refines the executed sub-chunk).
+        vla10 = chunk128[:, : bcfg.horizon, 30:40].astype(jnp.float32)
+        refined = BR.bridge_predict(bcfg, bst.params, bst.ema.shadow, stats,
+                                    k2, state10, vla10, cam1_feat=cam1,
+                                    cam2_feat=cam2, forces=forces)
+        return refined
+
+    # Warmup / compile.
+    out = pipeline(jax.random.PRNGKey(0))
+    np.asarray(out)
+
+    lat = []
+    for i in range(30):
+        t0 = time.perf_counter()
+        out = pipeline(jax.random.PRNGKey(i))
+        np.asarray(out)  # force completion + host fetch
+        lat.append((time.perf_counter() - t0) * 1e3)
+    p50 = float(np.percentile(lat, 50))
+
+    print(json.dumps({
+        "metric": "p50 action-chunk latency (RDT-1B 5-step + BRIDGeR 10-step refine, b1 bf16, incl. host fetch)",
+        "value": round(p50, 2),
+        "unit": "ms",
+        "vs_baseline": round(REFERENCE_A100_MS_ESTIMATE / p50, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Episode file schema: readers + synthetic-fixture writer.
+
+One ``episode_*.h5`` per episode with the reference's key layout
+(``/root/reference/VLA/data/franka_data/4_convert_to_hdf5.py`` and consumers
+``unified_vla_dataset_episode.py`` / ``controller_dataset.py``):
+
+====================   ===========================================
+``ee_poses``           (T, 7) float — xyz + quaternion (xyzw)
+``gripper_pos``        (T,)   float — raw gripper, 0..255 scale
+``camera1/camera1``    (T, H, W, 3) uint8 — external camera
+``camera2/camera2``    (T, H, W, 3) uint8 — wrist camera
+``instruct_embeddings``(1, L, D) float — precomputed T5 embedding
+``gelsight_force/forces``        (T, 3) float
+``gelsight_force/displacement``  (T, 2) float
+``vla_action``         (T, chunk, 10) float — offline-distilled RDT chunks
+                       (written by the controller-dataset generator)
+``camera1_resized`` /  (T, S, S, 3) uint8 — 384² pad-resized frames
+``camera2_resized``    (written alongside ``vla_action``)
+====================   ===========================================
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional
+
+import h5py
+import numpy as np
+
+from vla_touch_tpu.utils.geometry import quaternion_to_ortho6d
+
+GRIPPER_SCALE = 255.0
+
+
+def natural_sort(filenames):
+    def key(s):
+        return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s)]
+    return sorted(filenames, key=key)
+
+
+def list_episode_files(data_dir: str, pattern: str = ".h5") -> list:
+    out = []
+    for root, _, files in os.walk(data_dir):
+        for name in natural_sort([f for f in files if f.endswith(pattern)]):
+            out.append(os.path.join(root, name))
+    return out
+
+
+def qpos_from_episode(f) -> np.ndarray:
+    """[ee_pos(3), ortho6d(6), raw gripper(1)] (T, 10)
+    (``unified_vla_dataset_episode.py:76-96``). Gripper stays on the raw
+    0..255 scale; consumers rescale per their own convention."""
+    ee = np.asarray(f["ee_poses"], np.float64)
+    pos, quat = ee[:, :3], ee[:, 3:7]
+    o6 = np.asarray(quaternion_to_ortho6d(quat), np.float64)
+    grip = np.asarray(f["gripper_pos"], np.float64).reshape(-1, 1)
+    return np.concatenate([pos, o6, grip], axis=-1)
+
+
+def motion_onset_index(qpos: np.ndarray, eps: float = 1e-2) -> Optional[int]:
+    """First index where any qpos dim moved > eps from the initial pose
+    (``unified_vla_dataset_episode.py:304-312``); None if static."""
+    delta = np.abs(qpos - qpos[0:1])
+    idx = np.where(np.any(delta > eps, axis=1))[0]
+    return int(idx[0]) if len(idx) else None
+
+
+def write_synthetic_episode(path: str, num_steps: int = 80, img_size: int = 48,
+                            chunk: int = 64, lang_len: int = 8,
+                            lang_dim: int = 4096, seed: int = 0,
+                            with_vla: bool = True,
+                            resized_size: int = 384) -> None:
+    """Write a schema-complete synthetic episode (smooth random EEF
+    trajectory + moving-blob cameras + correlated forces).  Serves as the
+    test fixture and as a stand-in for the recorded ``wipe_example``
+    episodes (``/root/reference/README.md:74`` — not vendored in the repo)."""
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 1, num_steps)[:, None]
+    # Smooth EEF path that is still for the first ~5 steps (motion onset).
+    onset = 5
+    ramp = np.clip((np.arange(num_steps) - onset) / (num_steps - onset), 0, 1)[:, None]
+    pos = 0.4 + 0.2 * np.sin(2 * np.pi * t * rng.uniform(0.5, 1.5, 3)) * ramp
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    ang = 0.5 * ramp[:, 0] * np.sin(2 * np.pi * t[:, 0])
+    quat = np.stack([axis[0] * np.sin(ang / 2), axis[1] * np.sin(ang / 2),
+                     axis[2] * np.sin(ang / 2), np.cos(ang / 2)], axis=-1)
+    gripper = (128 + 120 * np.sin(np.pi * t[:, 0]) * ramp[:, 0]).astype(np.float64)
+
+    imgs1 = rng.integers(0, 255, (num_steps, img_size, img_size, 3), np.uint8)
+    imgs2 = rng.integers(0, 255, (num_steps, img_size, img_size, 3), np.uint8)
+    forces = 0.5 * np.sin(2 * np.pi * t * np.array([1.0, 1.3, 0.7])) + \
+        0.05 * rng.normal(size=(num_steps, 3))
+    disp = 0.1 * rng.normal(size=(num_steps, 2))
+    instruct = rng.normal(size=(1, lang_len, lang_dim)).astype(np.float32)
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("ee_poses", data=np.concatenate([pos, quat], -1))
+        f.create_dataset("gripper_pos", data=gripper)
+        g1 = f.create_group("camera1")
+        g1.create_dataset("camera1", data=imgs1, compression="lzf")
+        g2 = f.create_group("camera2")
+        g2.create_dataset("camera2", data=imgs2, compression="lzf")
+        f.create_dataset("instruct_embeddings", data=instruct)
+        gf = f.create_group("gelsight_force")
+        gf.create_dataset("forces", data=forces)
+        gf.create_dataset("displacement", data=disp)
+        if with_vla:
+            qpos = qpos_from_episode(f)
+            qpos_scaled = qpos / np.array([[1] * 9 + [GRIPPER_SCALE]])
+            # "VLA" chunks = future expert states + noise, gripper re-scaled
+            # back to raw units (matching the generator's policy.step output
+            # convention, create_controller_dataset_episode.py:99-126).
+            vla = np.zeros((num_steps, chunk, 10), np.float64)
+            for i in range(num_steps):
+                idx = np.minimum(np.arange(i, i + chunk), num_steps - 1)
+                vla[i] = qpos_scaled[idx] + 0.01 * rng.normal(size=(chunk, 10))
+            vla[:, :, -1] *= GRIPPER_SCALE
+            f.create_dataset("vla_action", data=vla)
+            small = min(resized_size, 64)  # keep fixtures small
+            f.create_dataset(
+                "camera1_resized",
+                data=rng.integers(0, 255, (num_steps, small, small, 3), np.uint8),
+                compression="lzf")
+            f.create_dataset(
+                "camera2_resized",
+                data=rng.integers(0, 255, (num_steps, small, small, 3), np.uint8),
+                compression="lzf")
+
+
+def make_synthetic_dataset(root: str, n_episodes: int = 3, **kw) -> list:
+    paths = []
+    for i in range(n_episodes):
+        p = os.path.join(root, f"episode_{i}.h5")
+        write_synthetic_episode(p, seed=i, **kw)
+        paths.append(p)
+    return paths
