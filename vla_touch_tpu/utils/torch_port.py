@@ -212,3 +212,79 @@ def mlp(sd: dict, prefix: str = "") -> dict:
         "fc1": linear(sd[f"{prefix}fc1.weight"], sd.get(f"{prefix}fc1.bias")),
         "fc2": linear(sd[f"{prefix}fc2.weight"], sd.get(f"{prefix}fc2.bias")),
     }
+
+
+def conv2d(weight: np.ndarray, bias: np.ndarray | None = None) -> dict:
+    """torch ``nn.Conv2d`` weight (out, in, kh, kw) -> flax ``Conv`` kernel
+    (kh, kw, in, out)."""
+    out = {"kernel": np.ascontiguousarray(weight.transpose(2, 3, 1, 0))}
+    if bias is not None:
+        out["bias"] = np.asarray(bias)
+    return out
+
+
+def dinov2_from_hf(sd: dict, num_layers: int) -> dict:
+    """HF ``Dinov2Model`` state dict -> :class:`DinoV2Encoder` params."""
+    vit: dict = {
+        "patch_embed": conv2d(
+            sd["embeddings.patch_embeddings.projection.weight"],
+            sd["embeddings.patch_embeddings.projection.bias"]),
+        "pos_embed": np.asarray(sd["embeddings.position_embeddings"]),
+        "cls_token": np.asarray(sd["embeddings.cls_token"]),
+        "final_norm": layernorm(sd["layernorm.weight"], sd["layernorm.bias"]),
+    }
+    for i in range(num_layers):
+        p = f"encoder.layer.{i}."
+        vit[f"block{i}"] = {
+            "norm1": layernorm(sd[f"{p}norm1.weight"], sd[f"{p}norm1.bias"]),
+            "attention": {
+                "query": linear(sd[f"{p}attention.attention.query.weight"],
+                                sd[f"{p}attention.attention.query.bias"]),
+                "key": linear(sd[f"{p}attention.attention.key.weight"],
+                              sd[f"{p}attention.attention.key.bias"]),
+                "value": linear(sd[f"{p}attention.attention.value.weight"],
+                                sd[f"{p}attention.attention.value.bias"]),
+                "output": linear(sd[f"{p}attention.output.dense.weight"],
+                                 sd[f"{p}attention.output.dense.bias"]),
+            },
+            "layerscale1": np.asarray(sd[f"{p}layer_scale1.lambda1"]),
+            "norm2": layernorm(sd[f"{p}norm2.weight"], sd[f"{p}norm2.bias"]),
+            "fc1": linear(sd[f"{p}mlp.fc1.weight"], sd[f"{p}mlp.fc1.bias"]),
+            "fc2": linear(sd[f"{p}mlp.fc2.weight"], sd[f"{p}mlp.fc2.bias"]),
+            "layerscale2": np.asarray(sd[f"{p}layer_scale2.lambda1"]),
+        }
+    return {"vit": vit}
+
+
+def siglip_from_hf(sd: dict, num_layers: int, prefix: str = "vision_model.") -> dict:
+    """HF ``SiglipVisionModel`` state dict -> :class:`SiglipVisionEncoder`
+    params (attention-pool head skipped; the tower uses patch tokens)."""
+    vit: dict = {
+        "patch_embed": conv2d(sd[f"{prefix}embeddings.patch_embedding.weight"],
+                              sd[f"{prefix}embeddings.patch_embedding.bias"]),
+        "pos_embed": np.asarray(
+            sd[f"{prefix}embeddings.position_embedding.weight"])[None],
+        "final_norm": layernorm(sd[f"{prefix}post_layernorm.weight"],
+                                sd[f"{prefix}post_layernorm.bias"]),
+    }
+    for i in range(num_layers):
+        p = f"{prefix}encoder.layers.{i}."
+        vit[f"block{i}"] = {
+            "norm1": layernorm(sd[f"{p}layer_norm1.weight"],
+                               sd[f"{p}layer_norm1.bias"]),
+            "attention": {
+                "query": linear(sd[f"{p}self_attn.q_proj.weight"],
+                                sd[f"{p}self_attn.q_proj.bias"]),
+                "key": linear(sd[f"{p}self_attn.k_proj.weight"],
+                              sd[f"{p}self_attn.k_proj.bias"]),
+                "value": linear(sd[f"{p}self_attn.v_proj.weight"],
+                                sd[f"{p}self_attn.v_proj.bias"]),
+                "output": linear(sd[f"{p}self_attn.out_proj.weight"],
+                                 sd[f"{p}self_attn.out_proj.bias"]),
+            },
+            "norm2": layernorm(sd[f"{p}layer_norm2.weight"],
+                               sd[f"{p}layer_norm2.bias"]),
+            "fc1": linear(sd[f"{p}mlp.fc1.weight"], sd[f"{p}mlp.fc1.bias"]),
+            "fc2": linear(sd[f"{p}mlp.fc2.weight"], sd[f"{p}mlp.fc2.bias"]),
+        }
+    return {"vit": vit}
