@@ -1,0 +1,173 @@
+"""LSTM residual controller training.
+
+TPU-native equivalent of
+``/root/reference/VLA/residual_controller/lstm_train.py``: AdamW over the
+obs/force encoders + LSTM + head (``:26-30``), normalized VLA/expert actions
+(``:57-82``), eval every N epochs with best-model checkpointing
+(``:98-110``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vla_touch_tpu.config import LSTMControllerConfig, LSTMTrainConfig
+from vla_touch_tpu.data.controller_dataset import ControllerDataModule
+from vla_touch_tpu.models.controllers import lstm as L
+from vla_touch_tpu.models.encoders import dinov2_runtime as dino
+from vla_touch_tpu.utils.normalization import normalize_actions
+
+logger = logging.getLogger("lstm_train")
+
+
+@partial(jax.jit, static_argnames=("ccfg",), donate_argnums=(1, 2))
+def _train_step(ccfg: LSTMControllerConfig, params, opt_state, key, batch,
+                lr):
+    opt = optax.adamw(learning_rate=lr, weight_decay=1e-6)
+    loss, grads = jax.value_and_grad(
+        lambda p: L.lstm_loss(ccfg, p, batch, dropout_key=key))(params)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state, loss
+
+
+@partial(jax.jit, static_argnames=("ccfg",))
+def _eval_loss(ccfg: LSTMControllerConfig, params, batch):
+    return L.lstm_loss(ccfg, params, batch)
+
+
+class LSTMControllerTrainer:
+    def __init__(self, ccfg: LSTMControllerConfig, tcfg: LSTMTrainConfig,
+                 output_dir: str, stats: dict,
+                 image_encoder_params: Optional[dict] = None, seed: int = 0):
+        self.ccfg, self.tcfg = ccfg, tcfg
+        self.output_dir = output_dir
+        os.makedirs(output_dir, exist_ok=True)
+        key = jax.random.PRNGKey(seed)
+        k_init, k_img, self.key = jax.random.split(key, 3)
+        self.state = L.init_lstm_controller(ccfg, k_init)
+        self.state.stats = stats
+        self.opt = optax.adamw(tcfg.learning_rate,
+                               weight_decay=tcfg.weight_decay)
+        self.opt_state = self.opt.init(self.state.params)
+        self.img_cfg = dino.config_for(ccfg.image_model)
+        self.img_params = (image_encoder_params if image_encoder_params
+                           is not None
+                           else dino.init_params(ccfg.image_model, k_img))
+        self.best_val = float("inf")
+        self.metrics_log = os.path.join(output_dir, "training.jsonl")
+
+    def prepare_batch(self, batch: dict) -> dict:
+        stats = self.state.stats
+        ctx = 2
+        f1 = dino.encode_images(self.img_cfg, self.img_params,
+                                jnp.asarray(batch["images_cam1"][:, -1]))
+        f2 = dino.encode_images(self.img_cfg, self.img_params,
+                                jnp.asarray(batch["images_cam2"][:, -1]))
+        obs_cond = L.lstm_encode_obs(
+            self.ccfg, self.state.params,
+            jnp.asarray(batch["states"][:, ctx - 1]), f1, f2)
+        return {
+            "obs_cond": obs_cond,
+            "vla_act": normalize_actions(jnp.asarray(batch["vla_actions"]),
+                                         stats, "vla"),
+            "expert_act": normalize_actions(
+                jnp.asarray(batch["expert_actions"]), stats, "expert"),
+            "forces": jnp.asarray(batch["forces"][:, ctx:]),
+        }
+
+    def train(self, data_module: ControllerDataModule,
+              num_epochs: Optional[int] = None, log_every: int = 10):
+        tcfg = self.tcfg
+        num_epochs = num_epochs or tcfg.epochs
+        rng = np.random.default_rng(tcfg.seed)
+        step, t0 = 0, time.time()
+        for epoch in range(num_epochs):
+            for batch in data_module.train_dataset.batches(
+                    min(tcfg.batch_size, len(data_module.train_dataset)), rng):
+                self.key, k = jax.random.split(self.key)
+                dev_batch = self.prepare_batch(batch)
+                self.state.params, self.opt_state, loss = _train_step(
+                    self.ccfg, self.state.params, self.opt_state, k,
+                    dev_batch, tcfg.learning_rate)
+                if step % log_every == 0:
+                    row = {"loss": float(loss), "step": step, "epoch": epoch,
+                           "elapsed": time.time() - t0}
+                    with open(self.metrics_log, "a") as f:
+                        f.write(json.dumps(row) + "\n")
+                    logger.info("step %d loss %.5f", step, row["loss"])
+                step += 1
+            if (epoch + 1) % tcfg.eval_period_epochs == 0:
+                val = self.validate(data_module)
+                if val is not None and val < self.best_val:
+                    self.best_val = val
+                    L.save_lstm_controller(
+                        os.path.join(self.output_dir, "best"), self.state)
+                    logger.info("epoch %d new best val %.5f", epoch, val)
+        L.save_lstm_controller(os.path.join(self.output_dir, "final"),
+                               self.state)
+        return self.state
+
+    def validate(self, data_module) -> Optional[float]:
+        if data_module.val_dataset is None or len(data_module.val_dataset) == 0:
+            return None
+        rng = np.random.default_rng(0)
+        losses = []
+        for batch in data_module.val_dataset.batches(
+                min(self.tcfg.batch_size, len(data_module.val_dataset)), rng,
+                shuffle=False):
+            losses.append(float(_eval_loss(self.ccfg, self.state.params,
+                                           self.prepare_batch(batch))))
+        return float(np.mean(losses)) if losses else None
+
+
+def train_lstm_controller_with_dataset(
+        data_dir: str, output_dir: str,
+        ccfg: Optional[LSTMControllerConfig] = None,
+        tcfg: Optional[LSTMTrainConfig] = None,
+        image_encoder_params: Optional[dict] = None,
+        num_epochs: Optional[int] = None):
+    ccfg = ccfg or LSTMControllerConfig()
+    tcfg = tcfg or LSTMTrainConfig()
+    dm = ControllerDataModule(data_dir, context_frames=2, horizon=tcfg.horizon,
+                              use_images=True, val_ratio=tcfg.val_ratio,
+                              seed=tcfg.seed)
+    trainer = LSTMControllerTrainer(ccfg, tcfg, output_dir, stats=dm.stats,
+                                    image_encoder_params=image_encoder_params,
+                                    seed=tcfg.seed)
+    state = trainer.train(dm, num_epochs=num_epochs)
+    return state, trainer
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="Train the LSTM residual controller")
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--output_dir", default="checkpoints/lstm")
+    p.add_argument("--horizon", type=int, default=32)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+    ccfg = LSTMControllerConfig()
+    tcfg = LSTMTrainConfig(horizon=args.horizon, batch_size=args.batch_size,
+                           epochs=args.epochs, learning_rate=args.lr,
+                           seed=args.seed)
+    logging.basicConfig(level=logging.INFO)
+    train_lstm_controller_with_dataset(args.data_dir, args.output_dir, ccfg,
+                                       tcfg)
+
+
+if __name__ == "__main__":
+    main()

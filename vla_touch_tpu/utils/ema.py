@@ -31,7 +31,10 @@ class EmaState:
 
 def init(params) -> EmaState:
     return EmaState(
-        shadow=jax.tree.map(lambda p: p.astype(jnp.float32), params),
+        # jnp.array(copy=True): astype would alias float32 params, and
+        # aliased buffers break donation in jitted train steps.
+        shadow=jax.tree.map(lambda p: jnp.array(p, jnp.float32, copy=True),
+                            params),
         num_updates=jnp.zeros((), jnp.int32),
     )
 
