@@ -115,6 +115,31 @@ def test_predict_action_shapes_determinism_and_mask(rng):
     assert not np.allclose(np.asarray(out), np.asarray(out3))
 
 
+def test_forward_cached_matches_uncached(rng):
+    """The KV-cached scan-body forward must equal the plain forward."""
+    m = TINY
+    model = RDT(m)
+    B, Ll = 2, 9
+    x = jnp.asarray(_rand(rng, B, m.horizon + 1, m.hidden_size))
+    freq = jnp.asarray([10.0, 25.0])
+    t = jnp.asarray([999, 3], jnp.int32)
+    lang = jnp.asarray(_rand(rng, B, Ll, m.hidden_size))
+    img = jnp.asarray(_rand(rng, B, m.img_cond_len, m.hidden_size))
+    lang_mask = np.ones((B, Ll), bool)
+    lang_mask[1, 4:] = False
+    lang_mask = jnp.asarray(lang_mask)
+    params = model.init(jax.random.PRNGKey(0), x, freq, t, lang, img)["params"]
+
+    plain = model.apply({"params": params}, x, freq, t, lang, img,
+                        lang_mask=lang_mask)
+    kv = model.apply({"params": params}, lang, img,
+                     method=RDT.compute_cond_kv)
+    cached = model.apply({"params": params}, x, freq, t, kv,
+                         lang_mask=lang_mask, method=RDT.forward_cached)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(plain),
+                               atol=1e-5)
+
+
 def test_compute_loss_finite_and_differentiable(rng):
     params = R.init_rdt(RCFG, jax.random.PRNGKey(0))
     m = TINY

@@ -1,0 +1,181 @@
+"""VLA consumer dataset: training-time conditioning pipeline + collator.
+
+Host-side equivalent of ``/root/reference/VLA/train/dataset.py``
+(``VLAConsumerDataset`` + ``DataCollatorForVLAConsumerDataset``): wraps the
+episode sampler and applies, per sample,
+
+- condition masking with prob ``cond_mask_prob`` (``:327-341``): ctrl_freq→0,
+  states→dataset state-mean, state_elem_mask→zeros, per-camera image→
+  background, (precomputed) language embedding kept (the precomp path);
+- state noise at a given SNR in dB scaled by the episode state-std
+  (``:330-333``);
+- image augmentation on 50% of valid frames: color jitter and/or noise+blur
+  corruption (``:386-393``, ≙ ``image_corrupt.py``);
+- pad-to-square with the SigLIP background + /255 + SigLIP normalize
+  (``:395-410``);
+- infinite retry on sample errors (``:300-451``).
+
+The collator stacks samples and pads the variable-length precomputed T5
+embeddings, emitting exactly the batch dict ``rdt_compute_loss`` consumes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from vla_touch_tpu.config import DataConfig
+from vla_touch_tpu.data.vla_dataset import UnifiedVLADataset
+from vla_touch_tpu.utils.image import pad_and_resize_for_siglip
+
+_SIGLIP_MEAN = 0.5
+_BG_VALUE = int(0.5 * 255)
+
+
+def image_corrupt(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Noise + blur corruption (≙ ``train/image_corrupt.py:11-44``'s imgaug
+    pipeline: gaussian/poisson noise and (motion) blur in random order)."""
+    import cv2
+
+    out = img.astype(np.float32)
+    ops = ["gauss_noise", "poisson", "blur", "motion_blur"]
+    rng.shuffle(ops)
+    for op in ops[: rng.integers(1, 3)]:
+        if op == "gauss_noise":
+            out = out + rng.normal(0, rng.uniform(4, 12), out.shape)
+        elif op == "poisson":
+            out = rng.poisson(np.clip(out, 0, 255)).astype(np.float32)
+        elif op == "blur":
+            k = int(rng.choice([3, 5]))
+            out = cv2.GaussianBlur(out, (k, k), 0)
+        elif op == "motion_blur":
+            k = int(rng.choice([3, 5]))
+            kernel = np.zeros((k, k), np.float32)
+            kernel[k // 2, :] = 1.0 / k
+            out = cv2.filter2D(out, -1, kernel)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def color_jitter(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Brightness/contrast/saturation jitter (≙ torchvision ColorJitter
+    (0.3, 0.4, 0.5, 0.03))."""
+    out = img.astype(np.float32)
+    out = out * rng.uniform(0.7, 1.3)                       # brightness
+    mean = out.mean()
+    out = (out - mean) * rng.uniform(0.6, 1.4) + mean       # contrast
+    gray = out.mean(axis=-1, keepdims=True)
+    out = gray + (out - gray) * rng.uniform(0.5, 1.5)       # saturation
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+class VLAConsumerDataset:
+    def __init__(self, cfg: DataConfig, dataset: Optional[UnifiedVLADataset] = None,
+                 dataset_stats: Optional[dict] = None, seed: int = 0,
+                 file_paths=None):
+        self.cfg = cfg
+        self.dataset = dataset or UnifiedVLADataset(cfg, file_paths=file_paths,
+                                                    seed=seed)
+        self.rng = np.random.default_rng(seed)
+        # Per-dataset state mean for the masking path; computed from the
+        # episodes when not supplied (≙ configs/dataset_stat.json).
+        if dataset_stats is None:
+            states = [self.dataset.get_item(i, state_only=True)["state"]
+                      for i in range(len(self.dataset))]
+            all_states = np.concatenate(states, axis=0)
+            dataset_stats = {"state_mean": all_states.mean(0),
+                             "state_std": all_states.std(0)}
+        self.dataset_stats = dataset_stats
+
+    def _background(self) -> np.ndarray:
+        s = self.cfg.image_size
+        return np.full((s, s, 3), _BG_VALUE, np.uint8)
+
+    def sample(self) -> dict:
+        cfg = self.cfg
+        rng = self.rng
+        while True:
+            try:
+                res = self.dataset.get_item()
+                break
+            except Exception:
+                continue
+
+        p = cfg.cond_mask_prob
+        out = {
+            "dataset_name": res["meta"]["dataset_name"],
+            "ctrl_freq": (cfg.control_freq if rng.random() > p else 0.0),
+        }
+
+        states = res["state"].copy()
+        if cfg.state_noise_snr is not None:
+            snr_scale = res["state_std"] / np.sqrt(
+                10 ** (cfg.state_noise_snr / 10))
+            states = states + rng.normal(0.0, snr_scale, states.shape)
+        mean = np.tile(self.dataset_stats["state_mean"][None],
+                       (states.shape[0], 1))
+        out["states"] = states if rng.random() > p else mean
+        out["actions"] = res["actions"]
+        out["state_elem_mask"] = (res["state_indicator"]
+                                  if rng.random() > p
+                                  else np.zeros_like(res["state_indicator"]))
+        out["state_norm"] = res["state_norm"]
+
+        # Image window: (history x cameras) frames in
+        # [ext_{t-1}, right_{t-1}, left_{t-1}, ext_t, ...] order.
+        metas = [(res["cam_high"], res["cam_high_mask"]),
+                 (res["cam_right_wrist"], res["cam_right_wrist_mask"]),
+                 (res["cam_left_wrist"], res["cam_left_wrist_mask"])]
+        frames, masks = [], []
+        for i in range(cfg.img_history_size):
+            for imgs, valid in metas:
+                ok = (bool(valid[i]) and np.prod(imgs[i].shape) > 0
+                      and rng.random() > p)
+                if not ok:
+                    frames.append(self._background())
+                    masks.append(False)
+                    continue
+                img = imgs[i].astype(np.uint8)
+                if cfg.image_aug and rng.random() > 0.5:
+                    aug = rng.choice(["corrupt_only", "color_only", "both"])
+                    if aug != "corrupt_only":
+                        img = color_jitter(img, rng)
+                    if aug != "color_only":
+                        img = image_corrupt(img, rng)
+                frames.append(pad_and_resize_for_siglip(img, cfg.image_size))
+                masks.append(True)
+        out["images"] = np.stack(frames)          # (H*C, S, S, 3) uint8
+        out["image_mask"] = np.asarray(masks)
+        out["lang_embed"] = res["meta"]["instruction_embedding"]
+        return out
+
+
+def collate(samples: list, max_lang_len: Optional[int] = None) -> dict:
+    """Stack samples; pad variable-length language embeddings + build the
+    attention mask (≙ ``DataCollatorForVLAConsumerDataset`` :454-533).
+
+    Emits the batch consumed by ``rdt_compute_loss`` (images stay uint8 for
+    cheap host->device transfer; normalization happens on device).
+    """
+    L = max_lang_len or max(s["lang_embed"].shape[0] for s in samples)
+    lang = np.zeros((len(samples), L, samples[0]["lang_embed"].shape[-1]),
+                    np.float32)
+    lang_mask = np.zeros((len(samples), L), bool)
+    for i, s in enumerate(samples):
+        n = min(s["lang_embed"].shape[0], L)
+        lang[i, :n] = s["lang_embed"][:n]
+        lang_mask[i, :n] = True
+    return {
+        "lang_tokens": lang,
+        "lang_mask": lang_mask,
+        "images": np.stack([s["images"] for s in samples]),
+        "image_mask": np.stack([s["image_mask"] for s in samples]),
+        "state_tokens": np.stack([s["states"] for s in samples]).astype(np.float32),
+        "action_gt": np.stack([s["actions"] for s in samples]).astype(np.float32),
+        "action_mask": np.stack(
+            [s["state_elem_mask"][None] for s in samples]).astype(np.float32),
+        "ctrl_freqs": np.asarray([s["ctrl_freq"] for s in samples], np.float32),
+        "state_norm": np.stack([s["state_norm"] for s in samples]).astype(np.float32),
+        "dataset_names": [s["dataset_name"] for s in samples],
+    }

@@ -166,6 +166,24 @@ def bridge_predict(cfg: BridgeControllerConfig, params, ema_shadow, stats,
     )
     vla_n = normalize_actions(vla_actions, stats, "vla")
     nets = _si_nets(module, params, ema_shadow)
+
+    if cfg.interpolant.sde_type == "vs":
+        # Stack the v/s UNet parameters and evaluate both as one batched
+        # program per SDE step (identical architectures, SURVEY §2.2).
+        from vla_touch_tpu.models.controllers.unet1d import ConditionalUnet1D
+
+        unet = ConditionalUnet1D(input_dim=cfg.state_dim,
+                                 down_dims=tuple(cfg.unet_down_dims))
+        stacked = jax.tree.map(lambda v, s: jnp.stack([v, s]),
+                               ema_shadow["v_net"], ema_shadow["s_net"])
+
+        def vs_fused(x, t, c):
+            out = jax.vmap(
+                lambda p: unet.apply({"params": p}, x, t, c))(stacked)
+            return out[0], out[1]
+
+        nets = dict(nets, vs_fused=vs_fused)
+
     refined_n = SI.sde_sample(cfg.interpolant, nets, vla_n, obs_cond, key,
                               diffuse_steps or cfg.interpolant.diffusion_steps)
     return denormalize_actions(refined_n, stats, "expert")

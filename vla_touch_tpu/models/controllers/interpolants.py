@@ -229,12 +229,20 @@ def sde_sample(cfg: InterpolantConfig, nets: dict, x_prior, cond, key,
         t_scalar = jnp.clip((step + 1).astype(jnp.float32) / n,
                             cfg.t_min, 1.0 - cfg.t_min)
         t = jnp.full((x.shape[0],), t_scalar, jnp.float32)
-        s_val = nets["s"](x, t, cond) * _bdims(gamma_inv(cfg, t), x)
-        if cfg.sde_type == "vs":
+        if cfg.sde_type == "vs" and "vs_fused" in nets:
+            # TPU optimization: both UNets evaluated as one batched program
+            # (stacked params + vmap) — halves the sequential kernel chain.
+            v_val, s_raw = nets["vs_fused"](x, t, cond)
+            s_val = s_raw * _bdims(gamma_inv(cfg, t), x)
+            ggd = _bdims(gamma_der(cfg, t) * gamma(cfg, t), x)
+            b_val = v_val - ggd * s_val * epsilon(cfg, t_scalar)
+        elif cfg.sde_type == "vs":
+            s_val = nets["s"](x, t, cond) * _bdims(gamma_inv(cfg, t), x)
             v_val = nets["v"](x, t, cond)
             ggd = _bdims(gamma_der(cfg, t) * gamma(cfg, t), x)
             b_val = v_val - ggd * s_val * epsilon(cfg, t_scalar)
         elif cfg.sde_type == "bs":
+            s_val = nets["s"](x, t, cond) * _bdims(gamma_inv(cfg, t), x)
             b_val = nets["b"](x, t, cond)
         else:
             raise NotImplementedError(cfg.sde_type)

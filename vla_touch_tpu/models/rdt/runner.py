@@ -89,6 +89,13 @@ class RDTRunnerModule(fnn.Module):
     def forward_model(self, x, freq, t, lang_c, img_c, lang_mask=None):
         return self.model(x, freq, t, lang_c, img_c, lang_mask=lang_mask)
 
+    def compute_cond_kv(self, lang_c, img_c):
+        return self.model.compute_cond_kv(lang_c, img_c)
+
+    def forward_cached(self, x, freq, t, cond_kv, lang_mask=None):
+        return self.model.forward_cached(x, freq, t, cond_kv,
+                                         lang_mask=lang_mask)
+
     def __call__(self, lang_tokens, img_tokens, state_action_traj, ctrl_freqs,
                  timesteps, lang_mask=None):
         """Adapted full forward (training path)."""
@@ -177,12 +184,17 @@ def rdt_predict_action(cfg: RDTRunnerConfig, params, key, lang_tokens,
         cfg.noise.num_train_timesteps, cfg.noise.beta_schedule)
 
     B = state_tokens.shape[0]
-    # Adapt the fixed conditions once, outside the scan.
+    # Adapt the fixed conditions AND their per-block cross-attention K/V
+    # once, outside the scan: the conditions don't change across denoise
+    # steps, so the reference's per-step KV recomputation
+    # (rdt_runner.py:146-160 re-runs the full model) is pure waste on TPU.
     state_in = jnp.concatenate(
         [state_tokens, action_mask.astype(state_tokens.dtype)], axis=2)
     lang_c, img_c, state_traj = module.apply(
         {"params": params}, lang_tokens, img_tokens, state_in,
         method=RDTRunnerModule.adapt_conditions)
+    cond_kv = module.apply({"params": params}, lang_c, img_c,
+                           method=RDTRunnerModule.compute_cond_kv)
 
     mask_h = jnp.broadcast_to(action_mask.astype(jnp.float32),
                               (B, m.horizon, m.output_dim))
@@ -192,9 +204,9 @@ def rdt_predict_action(cfg: RDTRunnerConfig, params, key, lang_tokens,
         action_traj = module.apply({"params": params}, action_in,
                                    method=RDTRunnerModule.adapt_state)
         x = jnp.concatenate([state_traj, action_traj], axis=1)
-        out = module.apply({"params": params}, x, ctrl_freqs, t, lang_c,
-                           img_c, lang_mask,
-                           method=RDTRunnerModule.forward_model)
+        out = module.apply({"params": params}, x, ctrl_freqs, t, cond_kv,
+                           lang_mask,
+                           method=RDTRunnerModule.forward_cached)
         return out.astype(jnp.float32)
 
     noisy = jax.random.normal(key, (B, m.horizon, m.output_dim), jnp.float32)

@@ -1,0 +1,248 @@
+"""Full RDT finetuning driver.
+
+The orchestration layer over :mod:`rdt_train`'s sharded step — equivalent of
+``/root/reference/VLA/train/train.py`` + ``main.py``:
+
+- consumer dataset with condition masking / state noise / image aug
+  (:mod:`vla_touch_tpu.data.consumer`);
+- frozen SigLIP image encoding outside the gradient path (``train.py:415-418``);
+- periodic checkpointing with ``checkpoint-<step>`` dirs, total-limit
+  pruning, and ``resume_from_checkpoint='latest'`` (``train.py:347-389,
+  455-460``);
+- periodic sampling eval: full DPM-Solver++ rollout on held-out batches with
+  per-dataset MSE and state-norm-scaled L2 (``train/sample.py:7-98``);
+- metrics to a jsonl log (≙ wandb/tensorboard scalars).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vla_touch_tpu.config import DataConfig, TrainConfig
+from vla_touch_tpu.data.consumer import VLAConsumerDataset, collate
+from vla_touch_tpu.models.encoders.vit import SIGLIP_SO400M, SiglipVisionEncoder, ViTConfig
+from vla_touch_tpu.models.rdt import runner as R
+from vla_touch_tpu.parallel import mesh as mesh_lib
+from vla_touch_tpu.train import rdt_train as T
+from vla_touch_tpu.utils import checkpoint as ckpt
+
+logger = logging.getLogger("rdt_loop")
+
+_SIGLIP_MEAN = 0.5
+
+
+@partial(jax.jit, static_argnames=("vision_cfg",))
+def encode_images(vision_cfg: ViTConfig, vision_params, images, image_mask):
+    """uint8 frames (B, F, S, S, 3) -> SigLIP tokens (B, F*729, D), frozen
+    (no grad), masked frames become the background (≙ train.py:415-418)."""
+    B, F, S, _, _ = images.shape
+    x = images.astype(jnp.float32) / 255.0
+    x = (x - _SIGLIP_MEAN) / _SIGLIP_MEAN
+    x = jnp.where(image_mask[:, :, None, None, None], x, 0.0)
+    tokens = SiglipVisionEncoder(vision_cfg).apply(
+        {"params": vision_params}, x.reshape(B * F, S, S, 3))
+    return jax.lax.stop_gradient(tokens.reshape(B, -1, tokens.shape[-1]))
+
+
+def sample_metrics(rcfg: R.RDTRunnerConfig, params, key, batch, img_tokens):
+    """Full-rollout eval metrics (≙ ``train/sample.py:46-93``)."""
+    pred = R.rdt_predict_action(
+        rcfg, params, key,
+        jnp.asarray(batch["lang_tokens"]), jnp.asarray(batch["lang_mask"]),
+        img_tokens, jnp.asarray(batch["state_tokens"]),
+        jnp.asarray(batch["action_mask"]),
+        jnp.asarray(batch["ctrl_freqs"]))
+    gt = jnp.asarray(batch["action_gt"])
+    mask = jnp.asarray(batch["action_mask"])  # (B, 1, 128)
+    diff = (pred - gt) * mask
+    denom = jnp.maximum(jnp.sum(mask) * gt.shape[1], 1)
+    mse = jnp.sum(jnp.square(diff)) / denom
+    # state-norm-scaled L2 (sample.py:61-66).
+    norm = jnp.maximum(jnp.linalg.norm(
+        jnp.asarray(batch["state_norm"]), axis=-1, keepdims=True), 1e-6)
+    l2 = jnp.mean(jnp.linalg.norm(diff, axis=-1) / norm)
+    return {"sample_mse": float(mse), "sample_l2err": float(l2)}
+
+
+@dataclasses.dataclass
+class RDTTrainer:
+    rcfg: R.RDTRunnerConfig
+    tcfg: TrainConfig
+    dcfg: DataConfig
+    output_dir: str
+    vision_cfg: ViTConfig = SIGLIP_SO400M
+
+    def __post_init__(self):
+        os.makedirs(self.output_dir, exist_ok=True)
+        self.metrics_log = os.path.join(self.output_dir, "training.jsonl")
+
+    # ---- checkpoint I/O ---------------------------------------------------
+
+    def save_checkpoint(self, state: T.TrainState, step: int):
+        path = os.path.join(self.output_dir, f"checkpoint-{step}")
+        ckpt.save_pytree(os.path.join(path, "params.msgpack"), state.params)
+        ckpt.save_pytree(os.path.join(path, "ema.msgpack"), state.ema.shadow)
+        ckpt.save_pytree(os.path.join(path, "opt_state.msgpack"),
+                         state.opt_state)
+        ckpt.save_json(os.path.join(path, "meta.json"),
+                       {"step": step,
+                        "ema_num_updates": int(state.ema.num_updates)})
+        ckpt.prune_checkpoints(self.output_dir,
+                               self.tcfg.checkpoints_total_limit)
+
+    def load_checkpoint(self, state: T.TrainState, path: str) -> T.TrainState:
+        from vla_touch_tpu.utils.ema import EmaState
+
+        params = ckpt.load_pytree(os.path.join(path, "params.msgpack"),
+                                  state.params)
+        shadow = ckpt.load_pytree(os.path.join(path, "ema.msgpack"),
+                                  state.ema.shadow)
+        opt_state = ckpt.load_pytree(os.path.join(path, "opt_state.msgpack"),
+                                     state.opt_state)
+        meta = ckpt.load_json(os.path.join(path, "meta.json"))
+        return T.TrainState(
+            params=params, opt_state=opt_state,
+            ema=EmaState(shadow=shadow,
+                         num_updates=jnp.asarray(meta["ema_num_updates"],
+                                                 jnp.int32)),
+            step=jnp.asarray(meta["step"], jnp.int32))
+
+    # ---- main loop ----------------------------------------------------------
+
+    def train(self, file_paths=None, max_steps: Optional[int] = None,
+              resume_from: Optional[str] = "latest", mesh=None,
+              vision_params=None, seed: Optional[int] = None):
+        tcfg, rcfg, dcfg = self.tcfg, self.rcfg, self.dcfg
+        seed = tcfg.seed if seed is None else seed
+        key = jax.random.PRNGKey(seed)
+        k_init, k_vis, key = jax.random.split(key, 3)
+
+        dataset = VLAConsumerDataset(dcfg, seed=seed, file_paths=file_paths)
+        mesh = mesh or mesh_lib.make_mesh(n_data=1, n_model=1)
+        if vision_params is None:
+            dummy = jnp.zeros((1, dcfg.image_size, dcfg.image_size, 3))
+            vision_params = SiglipVisionEncoder(self.vision_cfg).init(
+                k_vis, dummy)["params"]
+
+        state = T.init_train_state(rcfg, tcfg, k_init)
+        start_step = 0
+        if resume_from == "latest":
+            latest = ckpt.latest_checkpoint(self.output_dir)
+            if latest:
+                state = self.load_checkpoint(state, latest)
+                start_step = int(state.step)
+                logger.info("resumed from %s at step %d", latest, start_step)
+        elif resume_from:
+            state = self.load_checkpoint(state, resume_from)
+            start_step = int(state.step)
+
+        step_fn, state_sh = T.make_sharded_train_step(mesh, rcfg, tcfg)
+        state = T.shard_train_state(mesh, state, state_sh)
+
+        max_steps = max_steps or tcfg.max_train_steps
+        micro = tcfg.batch_size
+        accum = tcfg.grad_accum
+        t0 = time.time()
+
+        for step in range(start_step, max_steps):
+            samples = [dataset.sample() for _ in range(micro * accum)]
+            batch = collate(samples, max_lang_len=rcfg.model.max_lang_cond_len)
+            img_tokens = encode_images(
+                self.vision_cfg, vision_params,
+                jnp.asarray(batch["images"]), jnp.asarray(batch["image_mask"]))
+
+            def shape_micro(x):
+                x = np.asarray(x)
+                return jnp.asarray(
+                    x.reshape((accum, micro) + x.shape[1:]))
+
+            dev_batch = {
+                "lang_tokens": shape_micro(batch["lang_tokens"]),
+                "lang_mask": shape_micro(batch["lang_mask"]),
+                "img_tokens": np.asarray(img_tokens).reshape(
+                    (accum, micro) + img_tokens.shape[1:]),
+                "state_tokens": shape_micro(batch["state_tokens"]),
+                "action_gt": shape_micro(batch["action_gt"]),
+                "action_mask": shape_micro(batch["action_mask"]),
+                "ctrl_freqs": shape_micro(batch["ctrl_freqs"]),
+            }
+            dev_batch["img_tokens"] = jnp.asarray(dev_batch["img_tokens"])
+
+            key, k = jax.random.split(key)
+            state, metrics = step_fn(state, k, dev_batch)
+
+            if step % 10 == 0:
+                row = {"step": step, "loss": float(metrics["loss"]),
+                       "grad_norm": float(metrics["grad_norm"]),
+                       "elapsed": time.time() - t0}
+                with open(self.metrics_log, "a") as f:
+                    f.write(json.dumps(row) + "\n")
+                logger.info("step %d loss %.4f", step, row["loss"])
+
+            if (step + 1) % tcfg.checkpointing_period == 0:
+                self.save_checkpoint(jax.device_get(state), step + 1)
+
+            if (step + 1) % tcfg.sample_period == 0:
+                key, k = jax.random.split(key)
+                sm = sample_metrics(rcfg, state.params, k, batch, img_tokens)
+                sm.update(step=step + 1, kind="sample_eval")
+                with open(self.metrics_log, "a") as f:
+                    f.write(json.dumps(sm) + "\n")
+                logger.info("sample eval @%d: %s", step + 1, sm)
+
+        final = jax.device_get(state)
+        self.save_checkpoint(final, max_steps)
+        return final
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="Finetune RDT (data-parallel)")
+    p.add_argument("--data_root", default="data/datasets")
+    p.add_argument("--dataset_name", default="mango")
+    p.add_argument("--output_dir", default="checkpoints/rdt")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--grad_accum", type=int, default=4)
+    p.add_argument("--max_train_steps", type=int, default=40000)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--cond_mask_prob", type=float, default=0.1)
+    p.add_argument("--state_noise_snr", type=float, default=None)
+    p.add_argument("--image_aug", action="store_true")
+    p.add_argument("--model_scale", choices=["1b", "170m", "tiny"],
+                   default="1b")
+    p.add_argument("--resume_from_checkpoint", default="latest")
+    args = p.parse_args(argv)
+
+    from vla_touch_tpu.config import (NoiseSchedulerConfig, rdt_1b, rdt_170m,
+                                      rdt_tiny)
+
+    model_cfg = {"1b": rdt_1b, "170m": rdt_170m, "tiny": rdt_tiny}[
+        args.model_scale]()
+    rcfg = R.RDTRunnerConfig(model=model_cfg, noise=NoiseSchedulerConfig())
+    tcfg = TrainConfig(batch_size=args.batch_size, grad_accum=args.grad_accum,
+                       max_train_steps=args.max_train_steps,
+                       learning_rate=args.learning_rate)
+    dcfg = DataConfig(data_root=args.data_root,
+                      dataset_names=(args.dataset_name,),
+                      cond_mask_prob=args.cond_mask_prob,
+                      state_noise_snr=args.state_noise_snr,
+                      image_aug=args.image_aug,
+                      chunk_size=model_cfg.horizon)
+    logging.basicConfig(level=logging.INFO)
+    trainer = RDTTrainer(rcfg, tcfg, dcfg, args.output_dir)
+    trainer.train(resume_from=args.resume_from_checkpoint)
+
+
+if __name__ == "__main__":
+    main()
