@@ -39,6 +39,9 @@ class ViTConfig:
     use_cls_token: bool = True     # DinoV2 yes, SigLIP no
     use_layerscale: bool = True    # DinoV2 yes, SigLIP no
     gelu_tanh: bool = False        # SigLIP uses gelu_pytorch_tanh
+    quick_gelu: bool = False       # CLIP uses x*sigmoid(1.702x)
+    use_pre_norm: bool = False     # CLIP applies LayerNorm before the blocks
+    patch_bias: bool = True        # CLIP's patch conv has no bias
 
 
 DINOV2_SMALL = ViTConfig(hidden_size=384, num_layers=12, num_heads=6,
@@ -48,6 +51,11 @@ DINOV2_BASE = ViTConfig(hidden_size=768, num_layers=12, num_heads=12,
 SIGLIP_SO400M = ViTConfig(hidden_size=1152, num_layers=27, num_heads=16,
                           mlp_dim=4304, image_size=384, use_cls_token=False,
                           use_layerscale=False, gelu_tanh=True)
+CLIP_VIT_B16 = ViTConfig(hidden_size=768, num_layers=12, num_heads=12,
+                         mlp_dim=3072, patch_size=16, image_size=224,
+                         use_layerscale=False, quick_gelu=True,
+                         use_pre_norm=True, layernorm_eps=1e-5,
+                         patch_bias=False)
 
 
 class ViTSelfAttention(fnn.Module):
@@ -93,7 +101,10 @@ class ViTBlock(fnn.Module):
         h = fnn.LayerNorm(epsilon=c.layernorm_eps, dtype=self.dtype,
                           name="norm2")(x)
         h = fnn.Dense(c.mlp_dim, dtype=self.dtype, name="fc1")(h)
-        h = fnn.gelu(h, approximate=c.gelu_tanh)
+        if c.quick_gelu:
+            h = h * fnn.sigmoid(1.702 * h)
+        else:
+            h = fnn.gelu(h, approximate=c.gelu_tanh)
         h = fnn.Dense(c.hidden_size, dtype=self.dtype, name="fc2")(h)
         if c.use_layerscale:
             ls2 = self.param("layerscale2", fnn.initializers.ones,
@@ -137,7 +148,7 @@ class ViTEncoder(fnn.Module):
         grid = (H - c.patch_size) // c.patch_size + 1
         x = fnn.Conv(c.hidden_size, (c.patch_size, c.patch_size),
                      strides=(c.patch_size, c.patch_size), padding="VALID",
-                     dtype=self.dtype,
+                     use_bias=c.patch_bias, dtype=self.dtype,
                      name="patch_embed")(pixels.astype(self.dtype))
         x = x.reshape(B, grid * grid, c.hidden_size)
 
@@ -156,6 +167,10 @@ class ViTEncoder(fnn.Module):
         pos = _interpolate_pos_embed(pos, grid, c.image_size // c.patch_size,
                                      c.hidden_size, c.use_cls_token)
         x = x + pos.astype(self.dtype)
+
+        if c.use_pre_norm:
+            x = fnn.LayerNorm(epsilon=c.layernorm_eps, dtype=self.dtype,
+                              name="pre_norm")(x)
 
         for i in range(c.num_layers):
             x = ViTBlock(c, dtype=self.dtype, name=f"block{i}")(x)

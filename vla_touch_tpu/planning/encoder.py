@@ -1,0 +1,194 @@
+"""Octopi tactile encoder stack: ViFiCLIP + sensor adapters + property head.
+
+TPU-native equivalent of ``/root/reference/octopi/octopi_s/utils/encoder.py``:
+
+- :class:`ViFiCLIP` (``:389-423``): frame-wise CLIP vision encoding of a
+  GelSight tactile video, mean-pooled over frames, L2-normalized;
+- :class:`Adapter` (``:441-474``): residual 2-layer GELU MLP per sensor type
+  (dotted vs plain GelSight), optional output alignment;
+- :class:`PropertyClassifier` (``:477-495``): shared MLP trunk with hardness
+  and roughness scalar heads;
+- :func:`load_encoder`-style checkpoint assembly and the RAG embedding
+  helpers (``:498-601``) as plain functions.
+
+All tactile-video batches encode as a single fused program (frames folded
+into the batch axis — the "batched on the same mesh" serving path of
+BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as fnn
+
+from vla_touch_tpu.models.encoders.vit import CLIP_VIT_B16, ViTConfig, ViTEncoder
+from vla_touch_tpu.utils import checkpoint as ckpt
+
+
+class CLIPVisionPooled(fnn.Module):
+    """CLIP vision tower -> pooled CLS (HF ``pooler_output`` semantics:
+    post-layernorm applied to the CLS token)."""
+
+    cfg: ViTConfig = CLIP_VIT_B16
+    dtype: jnp.dtype = jnp.float32
+
+    @fnn.compact
+    def __call__(self, pixels):
+        tokens = ViTEncoder(self.cfg, dtype=self.dtype, name="vit")(pixels)
+        return tokens[:, 0]
+
+
+class ViFiCLIPVideo(fnn.Module):
+    """Tactile-video encoder: per-frame CLIP, mean-pool, L2 normalize
+    (encoder.py:401-412)."""
+
+    cfg: ViTConfig = CLIP_VIT_B16
+    dtype: jnp.dtype = jnp.float32
+
+    @fnn.compact
+    def __call__(self, frames):
+        """frames: (B, L, H, W, 3) normalized pixels -> (B, D)."""
+        B, L, H, W, C = frames.shape
+        feats = CLIPVisionPooled(self.cfg, dtype=self.dtype, name="clip")(
+            frames.reshape(B * L, H, W, C))
+        video = feats.reshape(B, L, -1).mean(axis=1)
+        return video / jnp.maximum(
+            jnp.linalg.norm(video, axis=-1, keepdims=True), 1e-12)
+
+
+class Adapter(fnn.Module):
+    """Residual MLP adapter (encoder.py:441-474)."""
+
+    input_size: int
+    output_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x):
+        h = fnn.Dense(512, dtype=self.dtype,
+                      kernel_init=fnn.initializers.truncated_normal(1e-3),
+                      name="rfc1")(x)
+        h = fnn.gelu(h, approximate=False)
+        h = fnn.Dense(self.input_size, dtype=self.dtype,
+                      kernel_init=fnn.initializers.truncated_normal(1e-3),
+                      name="rfc2")(h)
+        combined = h + x
+        if self.input_size != self.output_size:
+            combined = fnn.Dense(
+                self.output_size, dtype=self.dtype,
+                kernel_init=fnn.initializers.truncated_normal(1e-3),
+                name="align")(fnn.gelu(combined, approximate=False))
+        return combined
+
+
+class PropertyClassifier(fnn.Module):
+    """Hardness + roughness regression heads (encoder.py:477-495)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x):
+        h = fnn.Dense(512, dtype=self.dtype, name="fc1")(x)
+        h = fnn.gelu(h, approximate=False)
+        h = fnn.Dense(256, dtype=self.dtype, name="fc2")(h)
+        h = fnn.gelu(h, approximate=False)
+        hard = fnn.Dense(1, dtype=self.dtype, name="hardness_fc")(h)
+        rough = fnn.Dense(1, dtype=self.dtype, name="roughness_fc")(h)
+        return jnp.concatenate([hard, rough], axis=-1)
+
+
+@dataclasses.dataclass
+class TactileEncoderState:
+    """The deployable encoder bundle (≙ load_encoder, encoder.py:498-544)."""
+
+    cfg: ViTConfig
+    clip_params: dict
+    adapter_params: dict            # per sensor type: {"dotted": ..., "plain": ...}
+    classifier_params: dict
+    feature_dim: int = 768
+
+
+def init_tactile_encoder(cfg: ViTConfig = CLIP_VIT_B16, key=None,
+                         sensors=("dotted", "plain")) -> TactileEncoderState:
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    D = cfg.hidden_size
+    dummy_frames = jnp.zeros((1, 2, cfg.patch_size * 2, cfg.patch_size * 2, 3))
+    clip_params = ViFiCLIPVideo(cfg).init(k1, dummy_frames)["params"]
+    adapter_params = {
+        s: Adapter(D, D).init(jax.random.fold_in(k2, i),
+                              jnp.zeros((1, D)))["params"]
+        for i, s in enumerate(sensors)
+    }
+    classifier_params = PropertyClassifier().init(k3, jnp.zeros((1, D)))["params"]
+    return TactileEncoderState(cfg=cfg, clip_params=clip_params,
+                               adapter_params=adapter_params,
+                               classifier_params=classifier_params,
+                               feature_dim=D)
+
+
+@partial(jax.jit, static_argnames=("cfg", "sensor"))
+def encode_tactile_video(cfg: ViTConfig, clip_params, adapter_params,
+                         frames, sensor: str = "dotted"):
+    """(B, L, H, W, 3) normalized frames -> adapted video features (B, D)."""
+    video = ViFiCLIPVideo(cfg).apply({"params": clip_params}, frames)
+    return Adapter(cfg.hidden_size, cfg.hidden_size).apply(
+        {"params": adapter_params[sensor]}, video)
+
+
+@partial(jax.jit, static_argnames=())
+def classify_properties(classifier_params, features):
+    """(B, D) -> (B, 2) [hardness, roughness]."""
+    return PropertyClassifier().apply({"params": classifier_params}, features)
+
+
+def save_tactile_encoder(path: str, st: TactileEncoderState) -> None:
+    os.makedirs(path, exist_ok=True)
+    ckpt.save_pytree(os.path.join(path, "clip.msgpack"), st.clip_params)
+    ckpt.save_pytree(os.path.join(path, "adapters.msgpack"), st.adapter_params)
+    ckpt.save_pytree(os.path.join(path, "classifier.msgpack"),
+                     st.classifier_params)
+    ckpt.save_json(os.path.join(path, "meta.json"),
+                   {"feature_dim": st.feature_dim,
+                    "cfg": dataclasses.asdict(st.cfg)})
+
+
+def load_tactile_encoder(path: str, cfg: Optional[ViTConfig] = None
+                         ) -> TactileEncoderState:
+    meta = ckpt.load_json(os.path.join(path, "meta.json"))
+    if cfg is None:
+        cfg = ViTConfig(**meta["cfg"])
+    st = init_tactile_encoder(cfg)
+    st.clip_params = ckpt.load_pytree(os.path.join(path, "clip.msgpack"),
+                                      st.clip_params)
+    st.adapter_params = ckpt.load_pytree(
+        os.path.join(path, "adapters.msgpack"), st.adapter_params)
+    st.classifier_params = ckpt.load_pytree(
+        os.path.join(path, "classifier.msgpack"), st.classifier_params)
+    return st
+
+
+# ---- RAG embeddings (encoder.py:547-601) --------------------------------------
+
+
+def generate_rag_embeddings(features: np.ndarray, labels: list) -> dict:
+    """Store normalized features with their labels for retrieval."""
+    f = np.asarray(features, np.float32)
+    f = f / np.maximum(np.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+    return {"embeddings": f, "labels": list(labels)}
+
+
+def rag_lookup(bank: dict, query: np.ndarray, top_k: int = 3) -> list:
+    """Cosine-similarity top-k retrieval."""
+    q = np.asarray(query, np.float32)
+    q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    sims = bank["embeddings"] @ q.reshape(-1)
+    idx = np.argsort(-sims)[:top_k]
+    return [(bank["labels"][i], float(sims[i])) for i in idx]

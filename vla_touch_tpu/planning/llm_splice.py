@@ -1,0 +1,104 @@
+"""Tactile-token splicing for multimodal LLM serving.
+
+Equivalent of the embedding surgery in
+``/root/reference/octopi/octopi_s/utils/llm.py:139-194``: tactile video
+features are projected to the LLM width by a 2-layer GELU MLP and spliced
+into the input-embedding sequence between ``<|tactile_start|>`` /
+``<|tactile_end|>`` delimiter tokens, one feature vector per ``<tact>``
+placeholder.
+
+The LLM itself is pluggable (any function over input embeddings — a served
+Qwen/LLaMA on the same mesh, or a test stub); this module owns the
+projection and the splice, which is the framework-side logic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as fnn
+
+TACTILE_START = "<|tactile_start|>"
+TACTILE_END = "<|tactile_end|>"
+TACTILE_PLACEHOLDER = "<tact>"
+
+
+class TactileProjector(fnn.Module):
+    """CLIP-video feature -> LLM embedding width (llm.py:139-145)."""
+
+    llm_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @fnn.compact
+    def __call__(self, feats):
+        h = fnn.Dense(self.llm_dim, dtype=self.dtype, name="fc1")(feats)
+        h = fnn.gelu(h, approximate=False)
+        return fnn.Dense(self.llm_dim, dtype=self.dtype, name="fc2")(h)
+
+
+def split_on_placeholders(text: str) -> list:
+    """Split a prompt on ``<tact>`` placeholders (llm.py:158-166).
+
+    Returns alternating [text, PLACEHOLDER, text, ...] segments.
+    """
+    parts = text.split(TACTILE_PLACEHOLDER)
+    out = []
+    for i, p in enumerate(parts):
+        if i > 0:
+            out.append(TACTILE_PLACEHOLDER)
+        if p:
+            out.append(p)
+    return out
+
+
+def splice_embeddings(segment_embeds: Sequence[np.ndarray],
+                      tactile_feats: Sequence[np.ndarray],
+                      start_embed: np.ndarray,
+                      end_embed: np.ndarray) -> np.ndarray:
+    """Assemble the final input-embedding sequence.
+
+    ``segment_embeds``: embeddings of the text segments between placeholders
+    (len = n_tactile + 1); each (L_i, D).
+    ``tactile_feats``: projected tactile features, each (T_i, D) (T_i = 1 for
+    a single video feature).
+    Delimiters wrap every tactile block:
+        seg_0, [start, tact_0, end], seg_1, [start, tact_1, end], ...
+    """
+    assert len(segment_embeds) == len(tactile_feats) + 1
+    pieces = [np.atleast_2d(segment_embeds[0])]
+    for feats, seg in zip(tactile_feats, segment_embeds[1:]):
+        pieces.append(np.atleast_2d(start_embed))
+        pieces.append(np.atleast_2d(feats))
+        pieces.append(np.atleast_2d(end_embed))
+        pieces.append(np.atleast_2d(seg))
+    return np.concatenate(pieces, axis=0)
+
+
+def process_user_input(text: str, tactile_videos: list,
+                       embed_text_fn: Callable[[str], np.ndarray],
+                       encode_video_fn: Callable, project_fn: Callable,
+                       start_embed: np.ndarray, end_embed: np.ndarray
+                       ) -> np.ndarray:
+    """Full input pipeline (llm.py:158-194): split on placeholders, embed
+    text segments, encode+project tactile videos, splice."""
+    segments = split_on_placeholders(text)
+    text_segments = [s for s in segments if s != TACTILE_PLACEHOLDER]
+    n_tact = sum(1 for s in segments if s == TACTILE_PLACEHOLDER)
+    assert n_tact == len(tactile_videos), (n_tact, len(tactile_videos))
+    # Leading/trailing placeholders produce empty segments.
+    if segments and segments[0] == TACTILE_PLACEHOLDER:
+        text_segments = [""] + text_segments
+    if segments and segments[-1] == TACTILE_PLACEHOLDER:
+        text_segments = text_segments + [""]
+    D = start_embed.shape[-1]
+    seg_embeds = [
+        embed_text_fn(s) if s else np.zeros((0, D), np.float32)
+        for s in text_segments
+    ]
+    feats = [np.atleast_2d(np.asarray(project_fn(encode_video_fn(v))))
+             for v in tactile_videos]
+    return splice_embeddings(seg_embeds, feats, start_embed, end_embed)
