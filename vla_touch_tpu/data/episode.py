@@ -88,8 +88,25 @@ def write_synthetic_episode(path: str, num_steps: int = 80, img_size: int = 48,
                      axis[2] * np.sin(ang / 2), np.cos(ang / 2)], axis=-1)
     gripper = (128 + 120 * np.sin(np.pi * t[:, 0]) * ramp[:, 0]).astype(np.float64)
 
-    imgs1 = rng.integers(0, 255, (num_steps, img_size, img_size, 3), np.uint8)
-    imgs2 = rng.integers(0, 255, (num_steps, img_size, img_size, 3), np.uint8)
+    def _smooth_frames(phase: float) -> np.ndarray:
+        """Gradient background + moving gaussian blob (JPEG-friendly and
+        visually distinct per step, unlike raw noise)."""
+        yy, xx = np.mgrid[0:img_size, 0:img_size].astype(np.float32)
+        out = np.zeros((num_steps, img_size, img_size, 3), np.uint8)
+        for i in range(num_steps):
+            cx = img_size * (0.3 + 0.4 * np.sin(2 * np.pi * (i / num_steps) + phase))
+            cy = img_size * (0.3 + 0.4 * np.cos(2 * np.pi * (i / num_steps) + phase))
+            blob = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (img_size * 0.8))
+            frame = np.stack([
+                60 + 120 * xx / img_size + 120 * blob,
+                60 + 120 * yy / img_size + 60 * blob,
+                90 + 100 * blob,
+            ], axis=-1)
+            out[i] = np.clip(frame, 0, 255).astype(np.uint8)
+        return out
+
+    imgs1 = _smooth_frames(0.0)
+    imgs2 = _smooth_frames(1.5)
     forces = 0.5 * np.sin(2 * np.pi * t * np.array([1.0, 1.3, 0.7])) + \
         0.05 * rng.normal(size=(num_steps, 3))
     disp = 0.1 * rng.normal(size=(num_steps, 2))
