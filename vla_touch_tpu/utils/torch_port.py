@@ -214,6 +214,41 @@ def mlp(sd: dict, prefix: str = "") -> dict:
     }
 
 
+def rdt_runner(sd: dict, depth: int, adaptor_depths=(2, 2, 3)) -> dict:
+    """Full reference ``RDTRunner`` state dict (the HF ``rdt-1b`` checkpoint
+    layout: ``model.*`` + ``lang_adaptor.*`` + ``img_adaptor.*`` +
+    ``state_adaptor.*``, rdt_runner.py:27-60) -> RDTRunnerModule params.
+
+    ``adaptor_depths``: (lang, img, state) MLP depths — (2, 2, 3) for the
+    upstream mlp2x/mlp2x/mlp3x configuration.
+    """
+    return {
+        "model": rdt_model(sd, depth=depth, prefix="model."),
+        "lang_adaptor": condition_adapter(sd, "lang_adaptor.",
+                                          adaptor_depths[0]),
+        "img_adaptor": condition_adapter(sd, "img_adaptor.",
+                                         adaptor_depths[1]),
+        "state_adaptor": condition_adapter(sd, "state_adaptor.",
+                                           adaptor_depths[2]),
+    }
+
+
+def load_rdt_checkpoint(path: str, depth: int = 28) -> dict:
+    """Load an HF-format RDT checkpoint file (``pytorch_model.bin`` or
+    ``model.safetensors``) and convert to our params (hub_mixin.py:16-76
+    load-compat: safetensors preferred, torch pickle fallback)."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        sd = load_file(path)
+    else:
+        import torch
+
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+        sd = {k: v.numpy() for k, v in raw.items()}
+    return rdt_runner(sd, depth=depth)
+
+
 def conv2d(weight: np.ndarray, bias: np.ndarray | None = None) -> dict:
     """torch ``nn.Conv2d`` weight (out, in, kh, kw) -> flax ``Conv`` kernel
     (kh, kw, in, out)."""
