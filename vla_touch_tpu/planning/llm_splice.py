@@ -69,13 +69,20 @@ def splice_embeddings(segment_embeds: Sequence[np.ndarray],
         seg_0, [start, tact_0, end], seg_1, [start, tact_1, end], ...
     """
     assert len(segment_embeds) == len(tactile_feats) + 1
-    pieces = [np.atleast_2d(segment_embeds[0])]
+
+    def as2d(a):
+        a = jnp.asarray(a)
+        return a[None] if a.ndim == 1 else a
+
+    pieces = [as2d(segment_embeds[0])]
     for feats, seg in zip(tactile_feats, segment_embeds[1:]):
-        pieces.append(np.atleast_2d(start_embed))
-        pieces.append(np.atleast_2d(feats))
-        pieces.append(np.atleast_2d(end_embed))
-        pieces.append(np.atleast_2d(seg))
-    return np.concatenate(pieces, axis=0)
+        pieces.append(as2d(start_embed))
+        pieces.append(as2d(feats))
+        pieces.append(as2d(end_embed))
+        pieces.append(as2d(seg))
+    # jnp so the splice is traceable/differentiable through projected
+    # tactile features (projection training differentiates through here).
+    return jnp.concatenate(pieces, axis=0)
 
 
 def process_user_input(text: str, tactile_videos: list,
@@ -94,11 +101,10 @@ def process_user_input(text: str, tactile_videos: list,
         text_segments = [""] + text_segments
     if segments and segments[-1] == TACTILE_PLACEHOLDER:
         text_segments = text_segments + [""]
-    D = start_embed.shape[-1]
+    D = np.asarray(start_embed).shape[-1]
     seg_embeds = [
         embed_text_fn(s) if s else np.zeros((0, D), np.float32)
         for s in text_segments
     ]
-    feats = [np.atleast_2d(np.asarray(project_fn(encode_video_fn(v))))
-             for v in tactile_videos]
+    feats = [project_fn(encode_video_fn(v)) for v in tactile_videos]
     return splice_embeddings(seg_embeds, feats, start_embed, end_embed)
