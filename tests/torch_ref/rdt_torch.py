@@ -124,8 +124,11 @@ class TorchRDT(nn.Module):
             torch.from_numpy(img_pos).float()[None])
         self.blocks = nn.ModuleList([RDTBlock(hidden, heads)
                                      for _ in range(depth)])
-        self.final_norm = nn.RMSNorm(hidden, eps=1e-6)
-        self.final_ffn = Mlp(hidden, hidden, output_dim)
+        # Reference naming: FinalLayer submodule with norm_final/ffn_final
+        # (model.py:186-202) -> state-dict keys final_layer.norm_final.* etc.
+        self.final_layer = nn.Module()
+        self.final_layer.norm_final = nn.RMSNorm(hidden, eps=1e-6)
+        self.final_layer.ffn_final = Mlp(hidden, hidden, output_dim)
 
     def forward(self, x, freq, t, lang_c, img_c, lang_mask=None):
         t_tok = self.t_embedder(t).unsqueeze(1)
@@ -136,7 +139,8 @@ class TorchRDT(nn.Module):
         conds, masks = [lang_c, img_c], [lang_mask, None]
         for i, blk in enumerate(self.blocks):
             x = blk(x, conds[i % 2], masks[i % 2])
-        return self.final_ffn(self.final_norm(x))[:, -self.horizon:]
+        x = self.final_layer.ffn_final(self.final_layer.norm_final(x))
+        return x[:, -self.horizon:]
 
 
 class TorchAdapter(nn.Module):

@@ -138,8 +138,8 @@ def rdt_model(sd: dict, depth: int, prefix: str = "") -> dict:
         "x_pos_embed": np.asarray(sd[f"{prefix}x_pos_embed"]),
         "lang_cond_pos_embed": np.asarray(sd[f"{prefix}lang_cond_pos_embed"]),
         "img_cond_pos_embed": np.asarray(sd[f"{prefix}img_cond_pos_embed"]),
-        "final_norm": rmsnorm(sd[f"{prefix}final_norm.weight"]),
-        "final_ffn": mlp(sd, f"{prefix}final_ffn."),
+        "final_norm": rmsnorm(sd[f"{prefix}final_layer.norm_final.weight"]),
+        "final_ffn": mlp(sd, f"{prefix}final_layer.ffn_final."),
     }
     for i in range(depth):
         p[f"block{i}"] = rdt_block(sd, f"{prefix}blocks.{i}.")
@@ -231,6 +231,65 @@ def rdt_runner(sd: dict, depth: int, adaptor_depths=(2, 2, 3)) -> dict:
         "state_adaptor": condition_adapter(sd, "state_adaptor.",
                                            adaptor_depths[2]),
     }
+
+
+def _invert_linear(p: dict, prefix: str, out: dict) -> None:
+    out[f"{prefix}weight"] = np.ascontiguousarray(np.asarray(p["kernel"]).T)
+    if "bias" in p:
+        out[f"{prefix}bias"] = np.asarray(p["bias"])
+
+
+def rdt_runner_to_torch(params: dict, adaptor_depths=(2, 2, 3)) -> dict:
+    """Inverse of :func:`rdt_runner`: our params -> the reference HF
+    checkpoint key layout (hub_mixin save-compat), so checkpoints trained
+    here load into the reference stack and vice versa."""
+    sd: dict = {}
+    model = params["model"]
+    for name in ("x_pos_embed", "lang_cond_pos_embed", "img_cond_pos_embed"):
+        sd[f"model.{name}"] = np.asarray(model[name])
+    for te in ("t_embedder", "freq_embedder"):
+        _invert_linear(model[te]["fc1"], f"model.{te}.mlp.0.", sd)
+        _invert_linear(model[te]["fc2"], f"model.{te}.mlp.2.", sd)
+    depth = len([k for k in model if k.startswith("block")])
+    for i in range(depth):
+        b = model[f"block{i}"]
+        p = f"model.blocks.{i}."
+        for n in ("norm1", "norm2", "norm3"):
+            sd[f"{p}{n}.weight"] = np.asarray(b[n]["weight"])
+        _invert_linear(b["attn"]["qkv"], f"{p}attn.qkv.", sd)
+        sd[f"{p}attn.q_norm.weight"] = np.asarray(b["attn"]["q_norm"]["weight"])
+        sd[f"{p}attn.k_norm.weight"] = np.asarray(b["attn"]["k_norm"]["weight"])
+        _invert_linear(b["attn"]["proj"], f"{p}attn.proj.", sd)
+        _invert_linear(b["cross_attn"]["q"], f"{p}cross_attn.q.", sd)
+        _invert_linear(b["cross_attn"]["kv"], f"{p}cross_attn.kv.", sd)
+        sd[f"{p}cross_attn.q_norm.weight"] = np.asarray(
+            b["cross_attn"]["q_norm"]["weight"])
+        sd[f"{p}cross_attn.k_norm.weight"] = np.asarray(
+            b["cross_attn"]["k_norm"]["weight"])
+        _invert_linear(b["cross_attn"]["proj"], f"{p}cross_attn.proj.", sd)
+        _invert_linear(b["ffn"]["fc1"], f"{p}ffn.fc1.", sd)
+        _invert_linear(b["ffn"]["fc2"], f"{p}ffn.fc2.", sd)
+    sd["model.final_layer.norm_final.weight"] = np.asarray(
+        model["final_norm"]["weight"])
+    _invert_linear(model["final_ffn"]["fc1"],
+                   "model.final_layer.ffn_final.fc1.", sd)
+    _invert_linear(model["final_ffn"]["fc2"],
+                   "model.final_layer.ffn_final.fc2.", sd)
+    for name, d in zip(("lang_adaptor", "img_adaptor", "state_adaptor"),
+                       adaptor_depths):
+        for i in range(d):
+            prefix = (f"{name}." if d == 1 else f"{name}.{2 * i}.")
+            _invert_linear(params[name][f"fc{i}"], prefix, sd)
+    return sd
+
+
+def save_rdt_checkpoint(path: str, params: dict) -> str:
+    """Write a safetensors checkpoint in the reference HF layout."""
+    from safetensors.numpy import save_file
+
+    sd = {k: np.asarray(v) for k, v in rdt_runner_to_torch(params).items()}
+    save_file(sd, path)
+    return path
 
 
 def load_rdt_checkpoint(path: str, depth: int = 28) -> dict:
