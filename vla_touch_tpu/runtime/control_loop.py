@@ -148,6 +148,7 @@ class EpisodeReplay:
 
         from vla_touch_tpu.data.episode import qpos_from_episode
 
+        self.path = path
         with h5py.File(path, "r") as f:
             self.qpos = qpos_from_episode(f)
             self.forces = np.asarray(f["gelsight_force"]["forces"])
