@@ -67,11 +67,13 @@ def rdt_170m(**kw) -> RDTModelConfig:
 
 
 def rdt_tiny(**kw) -> RDTModelConfig:
-    """Small config for tests/CI."""
-    return RDTModelConfig(hidden_size=128, depth=2, num_heads=4, horizon=8,
-                          img_cond_len=24, max_lang_cond_len=16,
-                          lang_token_dim=32, img_token_dim=48,
-                          img_pos_embed_grid=None, dtype="float32", **kw)
+    """Small config for tests/CI; kwargs override the tiny defaults."""
+    defaults = dict(hidden_size=128, depth=2, num_heads=4, horizon=8,
+                    img_cond_len=24, max_lang_cond_len=16,
+                    lang_token_dim=32, img_token_dim=48,
+                    img_pos_embed_grid=None, dtype="float32")
+    defaults.update(kw)
+    return RDTModelConfig(**defaults)
 
 
 @dataclasses.dataclass(frozen=True)
