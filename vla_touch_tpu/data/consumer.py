@@ -22,7 +22,7 @@ embeddings, emitting exactly the batch dict ``rdt_compute_loss`` consumes.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -71,22 +71,48 @@ def color_jitter(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 
 
 class VLAConsumerDataset:
+    """Multi-dataset consumer: one :class:`UnifiedVLADataset` per name in
+    ``cfg.dataset_names``, sampled by ``dataset_weights`` (≙ the reference's
+    ``finetune_datasets.json`` + ``finetune_sample_weights.json``)."""
+
     def __init__(self, cfg: DataConfig, dataset: Optional[UnifiedVLADataset] = None,
                  dataset_stats: Optional[dict] = None, seed: int = 0,
-                 file_paths=None):
+                 file_paths=None, dataset_weights: Optional[Sequence[float]] = None):
         self.cfg = cfg
-        self.dataset = dataset or UnifiedVLADataset(cfg, file_paths=file_paths,
-                                                    seed=seed)
+        if dataset is not None:
+            self.datasets = [dataset]
+        elif file_paths is not None:
+            self.datasets = [UnifiedVLADataset(cfg, file_paths=file_paths,
+                                               seed=seed)]
+        else:
+            self.datasets = [
+                UnifiedVLADataset(cfg, dataset_name=name, seed=seed + i)
+                for i, name in enumerate(cfg.dataset_names)
+            ]
+        w = np.asarray(dataset_weights if dataset_weights is not None
+                       else [1.0] * len(self.datasets), np.float64)
+        self.dataset_weights = w / w.sum()
         self.rng = np.random.default_rng(seed)
         # Per-dataset state mean for the masking path; computed from the
         # episodes when not supplied (≙ configs/dataset_stat.json).
         if dataset_stats is None:
-            states = [self.dataset.get_item(i, state_only=True)["state"]
-                      for i in range(len(self.dataset))]
-            all_states = np.concatenate(states, axis=0)
-            dataset_stats = {"state_mean": all_states.mean(0),
-                             "state_std": all_states.std(0)}
+            dataset_stats = {}
+            for ds in self.datasets:
+                states = [ds.get_item(i, state_only=True)["state"]
+                          for i in range(len(ds))]
+                all_states = np.concatenate(states, axis=0)
+                dataset_stats[ds.dataset_name] = {
+                    "state_mean": all_states.mean(0),
+                    "state_std": all_states.std(0),
+                }
+        elif "state_mean" in dataset_stats:  # single-dataset legacy shape
+            dataset_stats = {ds.dataset_name: dataset_stats
+                             for ds in self.datasets}
         self.dataset_stats = dataset_stats
+
+    @property
+    def dataset(self) -> UnifiedVLADataset:
+        return self.datasets[0]
 
     def _background(self) -> np.ndarray:
         s = self.cfg.image_size
@@ -95,9 +121,11 @@ class VLAConsumerDataset:
     def sample(self) -> dict:
         cfg = self.cfg
         rng = self.rng
+        ds = self.datasets[int(rng.choice(len(self.datasets),
+                                          p=self.dataset_weights))]
         while True:
             try:
-                res = self.dataset.get_item()
+                res = ds.get_item()
                 break
             except Exception:
                 continue
@@ -113,7 +141,8 @@ class VLAConsumerDataset:
             snr_scale = res["state_std"] / np.sqrt(
                 10 ** (cfg.state_noise_snr / 10))
             states = states + rng.normal(0.0, snr_scale, states.shape)
-        mean = np.tile(self.dataset_stats["state_mean"][None],
+        ds_stats = self.dataset_stats[res["meta"]["dataset_name"]]
+        mean = np.tile(np.asarray(ds_stats["state_mean"])[None],
                        (states.shape[0], 1))
         out["states"] = states if rng.random() > p else mean
         out["actions"] = res["actions"]
