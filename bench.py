@@ -83,33 +83,25 @@ def main():
 
     # The deployment control loop is device-resident (HBM conditioning
     # buffers, scan-compiled samplers); the host only reads tiny action
-    # outputs.  The benchmark therefore measures steady-state per-chunk
-    # latency by chaining ITERS sequentially-dependent control ticks inside
-    # one compiled program and fetching once — this also amortizes away the
-    # dev-harness artifact of a ~40-55ms network-tunnel RTT per dispatch
-    # (measured: a trivial jitted op costs ~56ms through the tunnel).
-    ITERS = 10
-
-    @jax.jit
-    def loop(key, s0):
-        def body(carry, i):
-            s, k = carry
-            k, sub = jax.random.split(k)
-            refined = pipeline(sub, s)
-            # Feed the refined state back in: true sequential dependence.
-            return (refined[:, 0, :], k), refined
-
-        (_, _), chunks = jax.lax.scan(body, (s0, key), jnp.arange(ITERS))
-        return chunks
-
-    out = loop(jax.random.PRNGKey(0), state10)
+    # outputs.  The benchmark measures steady-state per-chunk latency by
+    # dispatching ITERS sequentially-dependent control ticks asynchronously
+    # (each consumes the previous refined state) and fetching once — this
+    # keeps the device saturated and amortizes the dev-harness artifact of
+    # a ~40-55ms network-tunnel RTT per host round-trip (measured: one
+    # trivial jitted op with fetch costs ~56ms through the tunnel).
+    pipeline_jit = jax.jit(pipeline)
+    out = pipeline_jit(jax.random.PRNGKey(0), state10)
     np.asarray(out)  # compile + warm
 
+    ITERS = 10
     lat = []
-    for i in range(5):
+    for i in range(8):
         t0 = time.perf_counter()
-        out = loop(jax.random.PRNGKey(i), state10)
-        np.asarray(out)  # force completion + host fetch
+        s = state10
+        for j in range(ITERS):
+            refined = pipeline_jit(jax.random.PRNGKey(i * ITERS + j), s)
+            s = refined[:, 0, :]  # true sequential dependence
+        np.asarray(refined)  # single completion fetch
         lat.append((time.perf_counter() - t0) * 1e3 / ITERS)
     p50 = float(np.percentile(lat, 50))
 

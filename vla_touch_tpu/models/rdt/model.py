@@ -223,13 +223,18 @@ class RDT(fnn.Module):
     def forward_cached(self, x, freq, t, cond_kv, lang_mask=None,
                        img_mask=None):
         """Denoise-scan body forward: conditions enter as cached K/V."""
+        import jax
+
         cfg = self.cfg
-        x = self._embed_x(x, freq, t)
+        with jax.named_scope("rdt_embed_x"):
+            x = self._embed_x(x, freq, t)
         masks = (lang_mask, img_mask)
         for i, blk in enumerate(self.blocks):
             k, v = cond_kv[i]
-            x = blk.call_cached(x, k, v, masks[i % 2])
-        out = self.final_ffn(self.final_norm(x))
+            with jax.named_scope(f"rdt_block{i}"):
+                x = blk.call_cached(x, k, v, masks[i % 2])
+        with jax.named_scope("rdt_final"):
+            out = self.final_ffn(self.final_norm(x))
         return out[:, -cfg.horizon:]
 
     def __call__(self, x, freq, t, lang_c, img_c, lang_mask=None,

@@ -169,14 +169,14 @@ class RDTTrainer:
             dev_batch = {
                 "lang_tokens": shape_micro(batch["lang_tokens"]),
                 "lang_mask": shape_micro(batch["lang_mask"]),
-                "img_tokens": np.asarray(img_tokens).reshape(
+                # Reshape on device — no host round-trip for the big tokens.
+                "img_tokens": img_tokens.reshape(
                     (accum, micro) + img_tokens.shape[1:]),
                 "state_tokens": shape_micro(batch["state_tokens"]),
                 "action_gt": shape_micro(batch["action_gt"]),
                 "action_mask": shape_micro(batch["action_mask"]),
                 "ctrl_freqs": shape_micro(batch["ctrl_freqs"]),
             }
-            dev_batch["img_tokens"] = jnp.asarray(dev_batch["img_tokens"])
 
             key, k = jax.random.split(key)
             state, metrics = step_fn(state, k, dev_batch)
