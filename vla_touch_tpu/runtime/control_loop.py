@@ -83,6 +83,36 @@ class GripperSmoother:
         return self.last
 
 
+class InstructionStore:
+    """Runtime instruction switching over precomputed embeddings.
+
+    The reference runs a keyboard thread that swaps the active instruction
+    from a precomputed T5-embedding dict mid-episode
+    (``frank_inference_eef.py:358-398,412-420``).  Here it is an explicit
+    object the planner (or an operator UI) drives; switching marks the
+    current chunk stale so the scheduler replans immediately.
+    """
+
+    def __init__(self, instruction_dict: dict, initial: Optional[str] = None):
+        self.all_instructions = list(instruction_dict["all_instructions"])
+        self._embeds = {k: instruction_dict[k] for k in self.all_instructions}
+        self.current = initial or self.all_instructions[0]
+        self.version = 0
+
+    @property
+    def embedding(self):
+        return self._embeds[self.current]
+
+    def switch(self, instruction_or_index) -> str:
+        if isinstance(instruction_or_index, int):
+            self.current = self.all_instructions[instruction_or_index]
+        else:
+            assert instruction_or_index in self._embeds, instruction_or_index
+            self.current = instruction_or_index
+        self.version += 1
+        return self.current
+
+
 class ChunkScheduler:
     """Re-plan / refine / execute scheduler.
 
@@ -94,11 +124,14 @@ class ChunkScheduler:
 
     def __init__(self, cfg: ControlLoopConfig, plan_fn: Callable,
                  bridge_refine_fn: Optional[Callable] = None,
-                 lstm_step_fn: Optional[Callable] = None):
+                 lstm_step_fn: Optional[Callable] = None,
+                 instructions: Optional[InstructionStore] = None):
         self.cfg = cfg
         self.plan_fn = plan_fn
         self.bridge_refine_fn = bridge_refine_fn
         self.lstm_step_fn = lstm_step_fn
+        self.instructions = instructions
+        self._instruction_version = instructions.version if instructions else 0
         self.window = ObservationWindow(2)
         self.smoother = GripperSmoother(cfg.gripper_deadband)
         self.reset()
@@ -114,6 +147,12 @@ class ChunkScheduler:
         """One control tick: returns the action to execute."""
         cfg = self.cfg
         self.window.update(obs)
+
+        # An instruction switch invalidates the current chunk (replan now).
+        if (self.instructions is not None
+                and self.instructions.version != self._instruction_version):
+            self._instruction_version = self.instructions.version
+            self.chunk = None
 
         if self.chunk is None or self.chunk_pos >= cfg.replan_interval:
             self.chunk = np.asarray(self.plan_fn(self.window))
