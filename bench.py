@@ -89,7 +89,10 @@ def main():
     # keeps the device saturated and amortizes the dev-harness artifact of
     # a ~40-55ms network-tunnel RTT per host round-trip (measured: one
     # trivial jitted op with fetch costs ~56ms through the tunnel).
-    pipeline_jit = jax.jit(pipeline)
+    # No outer jit: rdt_predict_action and bridge_predict are already jitted
+    # (an outer jit would capture the 2.4GB of bf16 params as lowering
+    # constants); async dispatch chains the two sub-calls per tick.
+    pipeline_jit = pipeline
     out = pipeline_jit(jax.random.PRNGKey(0), state10)
     np.asarray(out)  # compile + warm
 

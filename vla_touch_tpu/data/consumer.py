@@ -21,7 +21,6 @@ embeddings, emitting exactly the batch dict ``rdt_compute_loss`` consumes.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Sequence
 
 import numpy as np

@@ -28,7 +28,6 @@ import numpy as np
 from vla_touch_tpu.data.episode import (
     GRIPPER_SCALE,
     list_episode_files,
-    motion_onset_index,
     qpos_from_episode,
 )
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 import shutil
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 

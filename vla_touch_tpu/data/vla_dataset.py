@@ -34,7 +34,7 @@ from vla_touch_tpu.data.episode import (
     qpos_from_episode,
 )
 from vla_touch_tpu.utils.image import pad_and_resize_batch
-from vla_touch_tpu.utils.state_vec import FRANKA_EEF_STATE_INDICES, fill_in_state
+from vla_touch_tpu.utils.state_vec import fill_in_state
 
 
 class UnifiedVLADataset:

@@ -16,7 +16,7 @@ stochastic-interpolants model (``conditional_unet_1D_si.py:4-50``), with
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as fnn

@@ -17,7 +17,7 @@ single instruction (``encode_lang.py``), directory batch
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -19,7 +19,6 @@ Outputs match the reference wrappers:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,8 +16,6 @@ Layout convention: (B, L, H, D) for q/k/v — batch, length, heads, head_dim.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -14,7 +14,6 @@ projection and the splice, which is the framework-side logic.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Sequence
 
 import jax

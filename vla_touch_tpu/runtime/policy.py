@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vla_touch_tpu.config import RDTModelConfig
+
 from vla_touch_tpu.models.encoders.vit import SIGLIP_SO400M, SiglipVisionEncoder, ViTConfig
 from vla_touch_tpu.models.rdt import runner as R
 from vla_touch_tpu.utils import state_vec as SV

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import threading
-from typing import Callable, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -19,8 +19,6 @@ from __future__ import annotations
 import contextlib
 import time
 from collections import defaultdict
-from typing import Optional
-
 import numpy as np
 
 _SPANS: dict = defaultdict(list)
