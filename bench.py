@@ -69,14 +69,19 @@ def main():
     cam2 = jnp.asarray(rng.normal(size=(B, bcfg.visual_dim)), jnp.float32)
     forces = jnp.asarray(rng.normal(size=(B, 3)), jnp.float32)
 
-    def pipeline(key, state10_in):
+    # One fused dispatch per control tick: the full RDT denoise + BRIDGeR
+    # refine compiled together, with parameters as explicit arguments (an
+    # outer jit over closures would capture 2.4GB of bf16 weights as
+    # lowering constants).
+    @jax.jit
+    def pipeline(rdt_params, b_params, ema_shadow, key, state10_in):
         k1, k2 = jax.random.split(key)
-        chunk128 = R.rdt_predict_action(rcfg, params, k1, lang, lang_mask,
+        chunk128 = R.rdt_predict_action(rcfg, rdt_params, k1, lang, lang_mask,
                                         img, state128, amask, freqs)
         # Take the 10 Franka dims of the first 16 steps for refinement
         # (the deployment loop refines the executed sub-chunk).
         vla10 = chunk128[:, : bcfg.horizon, 30:40].astype(jnp.float32)
-        refined = BR.bridge_predict(bcfg, bst.params, bst.ema.shadow, stats,
+        refined = BR.bridge_predict(bcfg, b_params, ema_shadow, stats,
                                     k2, state10_in, vla10, cam1_feat=cam1,
                                     cam2_feat=cam2, forces=forces)
         return refined
@@ -89,11 +94,8 @@ def main():
     # keeps the device saturated and amortizes the dev-harness artifact of
     # a ~40-55ms network-tunnel RTT per host round-trip (measured: one
     # trivial jitted op with fetch costs ~56ms through the tunnel).
-    # No outer jit: rdt_predict_action and bridge_predict are already jitted
-    # (an outer jit would capture the 2.4GB of bf16 params as lowering
-    # constants); async dispatch chains the two sub-calls per tick.
-    pipeline_jit = pipeline
-    out = pipeline_jit(jax.random.PRNGKey(0), state10)
+    out = pipeline(params, bst.params, bst.ema.shadow, jax.random.PRNGKey(0),
+                   state10)
     np.asarray(out)  # compile + warm
 
     ITERS = 10
@@ -102,7 +104,8 @@ def main():
         t0 = time.perf_counter()
         s = state10
         for j in range(ITERS):
-            refined = pipeline_jit(jax.random.PRNGKey(i * ITERS + j), s)
+            refined = pipeline(params, bst.params, bst.ema.shadow,
+                               jax.random.PRNGKey(i * ITERS + j), s)
             s = refined[:, 0, :]  # true sequential dependence
         np.asarray(refined)  # single completion fetch
         lat.append((time.perf_counter() - t0) * 1e3 / ITERS)
