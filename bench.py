@@ -44,7 +44,7 @@ def main():
     params = jax.jit(lambda k: R.init_rdt(rcfg, k))(jax.random.PRNGKey(0))
     params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
 
-    bcfg = BridgeControllerConfig()
+    bcfg = BridgeControllerConfig(inference_dtype="bfloat16")
     bst = BR.init_bridge_controller(bcfg, jax.random.PRNGKey(1))
     stats = {
         "vla_mins": np.zeros(10, np.float32), "vla_maxs": np.ones(10, np.float32),

@@ -149,6 +149,26 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_bf16_inference_close_to_f32(rng):
+    """bfloat16 SDE sampling (the TPU serving path) stays within ~1% of the
+    float32 result at matched noise."""
+    cfg16 = dataclasses.replace(CFG, inference_dtype="bfloat16")
+    st = B.init_bridge_controller(CFG, jax.random.PRNGKey(0))
+    args = (
+        jnp.asarray(rng.normal(size=(2, 10)), jnp.float32),
+        jnp.asarray(rng.normal(size=(2, 16, 10)), jnp.float32),
+    )
+    kw = dict(cam1_feat=jnp.asarray(rng.normal(size=(2, 384)), jnp.float32),
+              cam2_feat=jnp.asarray(rng.normal(size=(2, 384)), jnp.float32),
+              forces=jnp.asarray(rng.normal(size=(2, 3)), jnp.float32))
+    a = B.bridge_predict(CFG, st.params, st.ema.shadow, _stats(),
+                         jax.random.PRNGKey(1), *args, **kw)
+    b = B.bridge_predict(cfg16, st.params, st.ema.shadow, _stats(),
+                         jax.random.PRNGKey(1), *args, **kw)
+    rel = float(jnp.abs(a - b).max()) / max(float(jnp.abs(a).max()), 1e-6)
+    assert rel < 0.05, rel
+
+
 def test_torch_ema_decay_schedule():
     """torch_ema with use_num_updates: decay = min(0.75, (1+n)/(10+n))."""
     n = jnp.asarray(5)

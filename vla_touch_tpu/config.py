@@ -110,6 +110,9 @@ class BridgeControllerConfig:
     context_frames: int = 2
     image_model: str = "dinov2-small"
     unet_down_dims: Sequence[int] = (256, 512, 512)
+    # Compute dtype for SDE sampling (training stays float32). bfloat16
+    # halves UNet weight streaming on TPU at negligible refinement error.
+    inference_dtype: str = "float32"
     interpolant: InterpolantConfig = dataclasses.field(default_factory=InterpolantConfig)
 
     @property

@@ -172,8 +172,11 @@ def bridge_predict(cfg: BridgeControllerConfig, params, ema_shadow, stats,
         # program per SDE step (identical architectures, SURVEY §2.2).
         from vla_touch_tpu.models.controllers.unet1d import ConditionalUnet1D
 
+        inf_dtype = (jnp.bfloat16 if cfg.inference_dtype == "bfloat16"
+                     else jnp.float32)
         unet = ConditionalUnet1D(input_dim=cfg.state_dim,
-                                 down_dims=tuple(cfg.unet_down_dims))
+                                 down_dims=tuple(cfg.unet_down_dims),
+                                 dtype=inf_dtype)
         stacked = jax.tree.map(lambda v, s: jnp.stack([v, s]),
                                ema_shadow["v_net"], ema_shadow["s_net"])
 
