@@ -29,6 +29,8 @@ from vla_touch_tpu.runtime.control_loop import (
 )
 from vla_touch_tpu.utils.normalization import normalize_actions
 
+pytestmark = pytest.mark.slow
+
 TINY_VIT = ViTConfig(hidden_size=48, num_layers=1, num_heads=4, mlp_dim=96,
                      image_size=28, patch_size=14, use_cls_token=False,
                      use_layerscale=False, gelu_tanh=True)

@@ -19,6 +19,8 @@ from vla_touch_tpu.data.episode import write_synthetic_episode
 from vla_touch_tpu.models.encoders import dinov2_runtime as dino
 from vla_touch_tpu.models.encoders.vit import ViTConfig
 
+pytestmark = pytest.mark.slow
+
 TINY_DINO = ViTConfig(hidden_size=384, num_layers=1, num_heads=4, mlp_dim=64,
                       image_size=28, patch_size=14)
 HORIZON = 8

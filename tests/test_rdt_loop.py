@@ -14,6 +14,8 @@ from vla_touch_tpu.models.encoders.vit import ViTConfig
 from vla_touch_tpu.models.rdt import runner as R
 from vla_touch_tpu.train.rdt_loop import RDTTrainer
 
+pytestmark = pytest.mark.slow
+
 TINY_VIT = ViTConfig(hidden_size=48, num_layers=1, num_heads=4, mlp_dim=96,
                      image_size=28, patch_size=14, use_cls_token=False,
                      use_layerscale=False, gelu_tanh=True)

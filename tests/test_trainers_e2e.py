@@ -29,6 +29,8 @@ LCFG = LSTMControllerConfig(hidden_dim=32, num_layers=1)
 from vla_touch_tpu.models.encoders import dinov2_runtime as dino  # noqa: E402
 from vla_touch_tpu.models.encoders.vit import ViTConfig  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 TINY_DINO = ViTConfig(hidden_size=384, num_layers=1, num_heads=4, mlp_dim=64,
                       image_size=28, patch_size=14)
 
