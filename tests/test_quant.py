@@ -1,0 +1,69 @@
+"""Int8 quantization: op-level error bounds + quantized RDT serving parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vla_touch_tpu.config import NoiseSchedulerConfig, rdt_tiny
+from vla_touch_tpu.models.rdt import quant_serve as Q
+from vla_touch_tpu.models.rdt import runner as R
+from vla_touch_tpu.ops.quant import qdense, quantize_linear, quantize_tree
+
+TINY = rdt_tiny()
+RCFG = R.RDTRunnerConfig(model=TINY, noise=NoiseSchedulerConfig(
+    num_inference_timesteps=3))
+
+
+def test_qdense_error_bound(rng):
+    w = rng.normal(size=(128, 64)).astype(np.float32) * 0.1
+    b = rng.normal(size=(64,)).astype(np.float32) * 0.01
+    x = rng.normal(size=(4, 7, 128)).astype(np.float32)
+    qp = quantize_linear({"kernel": w, "bias": b})
+    assert qp["w_i8"].dtype == jnp.int8
+    got = np.asarray(qdense(jnp.asarray(x), qp, out_dtype=jnp.float32))
+    want = x @ w + b
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.03, rel
+
+
+def test_quantize_tree_selectivity():
+    params = {
+        "a": {"kernel": np.ones((4, 4), np.float32), "bias": np.zeros(4)},
+        "t_embedder": {"fc1": {"kernel": np.ones((4, 4), np.float32),
+                               "bias": np.zeros(4)}},
+        "norm": {"weight": np.ones(4)},
+    }
+    q = quantize_tree(params, lambda path, leaf: "embedder" not in
+                      "/".join(path))
+    assert "w_i8" in q["a"]
+    assert "kernel" in q["t_embedder"]["fc1"]     # excluded
+    assert "weight" in q["norm"]                   # passthrough
+
+
+def test_quantized_predict_action_close_to_float(rng):
+    params = R.init_rdt(RCFG, jax.random.PRNGKey(0))
+    qparams = Q.quantize_rdt_params(params)
+
+    m = TINY
+    B, Ll = 2, 7
+    lang = jnp.asarray(rng.normal(size=(B, Ll, m.lang_token_dim)), jnp.float32)
+    lang_mask = jnp.ones((B, Ll), bool)
+    img = jnp.asarray(rng.normal(size=(B, m.img_cond_len, m.img_token_dim)),
+                      jnp.float32)
+    state = jnp.asarray(rng.normal(size=(B, 1, m.state_token_dim)), jnp.float32)
+    amask = jnp.ones((B, 1, m.output_dim), jnp.float32)
+    freqs = jnp.asarray([10.0, 25.0])
+
+    ref = R.rdt_predict_action(RCFG, params, jax.random.PRNGKey(1), lang,
+                               lang_mask, img, state, amask, freqs)
+    got = Q.rdt_predict_action_quant(RCFG, qparams, jax.random.PRNGKey(1),
+                                     lang, lang_mask, img, state, amask, freqs)
+    assert got.shape == ref.shape
+    ref_n, got_n = np.asarray(ref), np.asarray(got)
+    rel = np.abs(got_n - ref_n).max() / max(np.abs(ref_n).max(), 1e-6)
+    # int8 through 2 blocks x 3 denoise steps accumulates a few % error —
+    # well inside the SDE refiner's stochastic band.
+    assert rel < 0.15, rel
+    # Correlation stays near-perfect (directionally identical chunks).
+    corr = np.corrcoef(ref_n.ravel(), got_n.ravel())[0, 1]
+    assert corr > 0.99, corr
