@@ -86,6 +86,30 @@ def test_clip_pooled_matches_hf(rng):
                                atol=2e-4, rtol=1e-4)
 
 
+def test_prompt_learning_clip(rng):
+    """VPT-deep prompt tower: prompts are trainable, output CLS-shaped, and
+    prompt count doesn't leak into the output sequence."""
+    from vla_touch_tpu.planning.encoder import PromptLearningCLIPVision
+
+    cfg = ViTConfig(hidden_size=32, num_layers=4, num_heads=4, mlp_dim=64,
+                    patch_size=16, image_size=32, use_layerscale=False,
+                    quick_gelu=True, use_pre_norm=True, layernorm_eps=1e-5,
+                    patch_bias=False)
+    m = PromptLearningCLIPVision(cfg, num_prompts=3, prompt_depth=3)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    out = m.apply({"params": params}, x)
+    assert out.shape == (2, 32)
+    assert params["prompts"].shape == (2, 3, 32)
+    g = jax.grad(lambda p: jnp.sum(m.apply({"params": p}, x) ** 2))(params)
+    assert float(jnp.linalg.norm(g["prompts"])) > 0
+    # Different prompts -> different output (prompts influence via attention).
+    p2 = dict(params)
+    p2["prompts"] = params["prompts"] + 1.0
+    out2 = m.apply({"params": p2}, x)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
 def test_vificlip_video_pooling(rng):
     st = PE.init_tactile_encoder(TINY_CLIP, jax.random.PRNGKey(0))
     frames = jnp.asarray(rng.normal(size=(2, 3, 32, 32, 3)), jnp.float32)

@@ -45,6 +45,87 @@ class CLIPVisionPooled(fnn.Module):
         return tokens[:, 0]
 
 
+class PromptLearningCLIPVision(fnn.Module):
+    """VPT-deep prompt-learned CLIP vision tower with per-layer gating.
+
+    Equivalent of the reference's ``PromptLearningCLIPEncoderLayer`` vision
+    path (encoder.py:11-127): layers 1..prompt_depth-1 replace the previous
+    layer's prompt outputs with fresh learnable prompt tokens appended at the
+    sequence end; after each gated block the prompt slots blend
+    ``sigmoid(γ)·after + (1-sigmoid(γ))·before``; layer ``prompt_depth``
+    drops the prompt tokens.  Only the prompts and gates train; the CLIP
+    backbone stays frozen.
+    """
+
+    cfg: ViTConfig = CLIP_VIT_B16
+    num_prompts: int = 4
+    prompt_depth: int = 9
+    gate_prior: float = -3.0
+    dtype: jnp.dtype = jnp.float32
+
+    @fnn.compact
+    def __call__(self, pixels):
+        from vla_touch_tpu.models.encoders.vit import ViTBlock, _interpolate_pos_embed
+
+        c = self.cfg
+        B, H, W, _ = pixels.shape
+        grid = (H - c.patch_size) // c.patch_size + 1
+        x = fnn.Conv(c.hidden_size, (c.patch_size, c.patch_size),
+                     strides=(c.patch_size, c.patch_size), padding="VALID",
+                     use_bias=c.patch_bias, dtype=self.dtype,
+                     name="patch_embed")(pixels.astype(self.dtype))
+        x = x.reshape(B, grid * grid, c.hidden_size)
+        n_pos = (c.image_size // c.patch_size) ** 2 + 1
+        pos = self.param("pos_embed", fnn.initializers.normal(0.02),
+                         (1, n_pos, c.hidden_size), jnp.float32)
+        cls = self.param("cls_token", fnn.initializers.zeros,
+                         (1, 1, c.hidden_size), jnp.float32)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(self.dtype), (B, 1, c.hidden_size)),
+             x], axis=1)
+        pos = _interpolate_pos_embed(pos, grid, c.image_size // c.patch_size,
+                                     c.hidden_size, True)
+        x = x + pos.astype(self.dtype)
+        if c.use_pre_norm:
+            x = fnn.LayerNorm(epsilon=c.layernorm_eps, dtype=self.dtype,
+                              name="pre_norm")(x)
+
+        prompts = self.param(
+            "prompts", fnn.initializers.normal(0.02),
+            (max(self.prompt_depth - 1, 1), self.num_prompts, c.hidden_size),
+            jnp.float32)
+        gates = self.param("gates",
+                           fnn.initializers.constant(self.gate_prior),
+                           (c.num_layers,), jnp.float32)
+
+        n = self.num_prompts
+        for i in range(c.num_layers):
+            if 0 < i < self.prompt_depth:
+                # Replace previous prompt outputs with fresh learnable tokens
+                # (layer 0 appends the first set).
+                prefix = x[:, : x.shape[1] - n] if i > 1 else x
+                ctx = jnp.broadcast_to(prompts[i - 1].astype(self.dtype),
+                                       (B, n, c.hidden_size))
+                x = jnp.concatenate([prefix, ctx], axis=1)
+            elif i == self.prompt_depth and self.prompt_depth > 1:
+                x = x[:, : x.shape[1] - n]  # drop prompt slots
+
+            has_prompts = 0 < i < self.prompt_depth
+            before = x[:, x.shape[1] - n:] if has_prompts else None
+            x = ViTBlock(c, dtype=self.dtype, name=f"block{i}")(x)
+            if has_prompts and i != c.num_layers - 1:
+                g = fnn.sigmoid(gates[i]).astype(self.dtype)
+                after = x[:, x.shape[1] - n:]
+                gated = g * after + (1 - g) * before
+                x = jnp.concatenate([x[:, : x.shape[1] - n], gated], axis=1)
+
+        if self.prompt_depth >= c.num_layers:
+            x = x[:, : x.shape[1] - n]
+        x = fnn.LayerNorm(epsilon=c.layernorm_eps, dtype=self.dtype,
+                          name="final_norm")(x)
+        return x[:, 0]
+
+
 class ViFiCLIPVideo(fnn.Module):
     """Tactile-video encoder: per-frame CLIP, mean-pool, L2 normalize
     (encoder.py:401-412)."""
