@@ -33,7 +33,8 @@ def test_diffusion_controller(ckpt_path: str, data_dir: str,
                               image_encoder_params: Optional[dict] = None,
                               state: Optional[B.BridgeControllerState] = None,
                               data_module: Optional[ControllerDataModule] = None,
-                              diffuse_steps: Optional[int] = None) -> dict:
+                              diffuse_steps: Optional[int] = None,
+                              visualize_dir: Optional[str] = None) -> dict:
     st = state if state is not None else B.load_bridge_controller(ckpt_path)
     ccfg = st.cfg
     dm = data_module or ControllerDataModule(
@@ -70,6 +71,11 @@ def test_diffusion_controller(ckpt_path: str, data_dir: str,
     vla = batch["vla_actions"]
     refined = np.asarray(refined)
 
+    if visualize_dir:
+        from vla_touch_tpu.eval.visualize import plot_samples
+
+        plot_samples(expert, vla, refined, visualize_dir)
+
     action_mse = float(np.mean((refined - expert) ** 2))
     vla_mse = float(np.mean((vla - expert) ** 2))
     improvement = (1.0 - action_mse / vla_mse) * 100.0 if vla_mse > 0 else 0.0
@@ -95,11 +101,14 @@ def main(argv=None):
     p.add_argument("--num_samples", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--diffuse_steps", type=int, default=None)
+    p.add_argument("--visualize_dir", default=None,
+                   help="write 4-panel trajectory plots here")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     test_diffusion_controller(args.ckpt_path, args.data_dir,
                               args.num_samples, args.seed,
-                              diffuse_steps=args.diffuse_steps)
+                              diffuse_steps=args.diffuse_steps,
+                              visualize_dir=args.visualize_dir)
 
 
 if __name__ == "__main__":

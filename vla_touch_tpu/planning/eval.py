@@ -50,6 +50,21 @@ def evaluate_ranking(predicted: Sequence[Sequence[str]],
     }
 
 
+def evaluate_reasoning(predictions: Sequence[str],
+                       targets: Sequence[str]) -> dict:
+    """Scenario-reasoning accuracy (evaluate_llm.py:116+): a prediction is
+    correct when it names the target object (first object mentioned wins
+    when several appear)."""
+    correct = 0
+    for pred, target in zip(predictions, targets):
+        m = re.search(r"object\s+([A-Za-z0-9_]+)", pred or "", re.IGNORECASE)
+        named = (f"object {m.group(1)}".lower() if m else (pred or "").lower())
+        if target.lower() in named or named in target.lower():
+            correct += 1
+    return {"accuracy": correct / max(len(targets), 1),
+            "num_evaluated": len(targets)}
+
+
 def threshold_classification_accuracy(preds: np.ndarray, labels: np.ndarray,
                                       threshold: float) -> float:
     """Scalar-property binary classification by threshold
