@@ -86,6 +86,26 @@ def test_tp_mesh_runs_and_shards_params(rng):
                                rtol=1e-4)
 
 
+def test_8bit_adam_train_step(rng):
+    """One RDT train step with blockwise-int8 optimizer moments."""
+    import dataclasses
+
+    tcfg8 = dataclasses.replace(TCFG, use_8bit_adam=True)
+    state = T.init_train_state(RCFG, tcfg8, jax.random.PRNGKey(0))
+    # The chained state: (clip EmptyState, Adam8bitState).
+    inner = state.opt_state[1]
+    assert jax.tree.leaves(inner.m_q)[0].dtype == jnp.int8
+    batch = _batch(rng, accum=1, micro=2)
+    new_state, metrics = jax.jit(
+        lambda s, k, b: T.train_step(RCFG, tcfg8, s, k, b)
+    )(state, jax.random.PRNGKey(1), batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # Params actually moved.
+    d = sum(float(jnp.sum(jnp.abs(a - b))) for a, b in zip(
+        jax.tree.leaves(state.params), jax.tree.leaves(new_state.params)))
+    assert d > 0
+
+
 def test_zero_sharding_places_moments_on_data_axis():
     mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
     tree = {"a": jnp.zeros((16, 4)), "b": jnp.zeros((3,)), "c": jnp.zeros(())}

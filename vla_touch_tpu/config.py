@@ -183,6 +183,7 @@ class TrainConfig:
     adam_beta2: float = 0.95
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 1.0
+    use_8bit_adam: bool = False      # bnb-style blockwise-int8 moments
     max_train_steps: int = 40000
     checkpointing_period: int = 1000
     checkpoints_total_limit: int = 40

@@ -50,11 +50,17 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             0.0, cfg.learning_rate, cfg.lr_warmup_steps, cfg.max_train_steps)
     else:
         raise ValueError(cfg.lr_scheduler)
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
-                    eps=cfg.adam_epsilon, weight_decay=cfg.weight_decay),
-    )
+    if cfg.use_8bit_adam:
+        from vla_touch_tpu.ops.adam8bit import adamw8bit
+
+        inner = adamw8bit(lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                          eps=cfg.adam_epsilon,
+                          weight_decay=cfg.weight_decay)
+    else:
+        inner = optax.adamw(lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                            eps=cfg.adam_epsilon,
+                            weight_decay=cfg.weight_decay)
+    return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), inner)
 
 
 def init_train_state(rcfg: R.RDTRunnerConfig, tcfg: TrainConfig, key,
