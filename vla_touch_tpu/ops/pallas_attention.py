@@ -140,7 +140,9 @@ def flash_cross_attention(q, k, v, kv_mask=None, scale=None, block_kv: int = 512
             pltpu.VMEM((lq_pad, d_pad), jnp.float32),  # weighted accumulator
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            # batch*heads is parallel; only the KV axis carries the running
+            # softmax state and must stay sequential.
+            dimension_semantics=("parallel", "arbitrary"),
         ),
     )(qp, kp, vp, valid)
 
