@@ -1,0 +1,101 @@
+"""Host-side prefetch pipeline feeding the device.
+
+The reference overlaps IO with compute via DataLoader worker processes and a
+producer/consumer buffer (SURVEY §2.7 process-level parallelism).  Here a
+thread pool builds batches ahead of the training loop while jax's async
+dispatch overlaps the host→device transfer with the previous step's compute:
+
+    loader = PrefetchLoader(lambda: build_batch(...), depth=2, workers=2)
+    for batch in loader:         # batches arrive pre-built
+        state, metrics = step_fn(state, key, batch)
+
+Threads (not processes) suffice: batch assembly is numpy/cv2/h5py work that
+releases the GIL, and the native episode cache decodes JPEG without the GIL
+entirely.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Optional
+
+
+class PrefetchLoader:
+    """Run ``make_batch()`` in background threads, yielding results.
+
+    ``depth``: max batches queued ahead; ``workers``: builder threads;
+    ``num_batches``: stop after N (None = infinite).
+    """
+
+    def __init__(self, make_batch: Callable[[], dict], depth: int = 2,
+                 workers: int = 1, num_batches: Optional[int] = None):
+        self.make_batch = make_batch
+        self.num_batches = num_batches
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._produced = 0
+        self._consumed = 0
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True)
+            for _ in range(workers)
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _claim(self) -> bool:
+        with self._lock:
+            if (self.num_batches is not None
+                    and self._produced >= self.num_batches):
+                return False
+            self._produced += 1
+            return True
+
+    def _worker(self):
+        while not self._stop.is_set():
+            if not self._claim():
+                return
+            try:
+                batch = self.make_batch()
+            except BaseException as e:  # surface in the consumer
+                self._error = e
+                self._q.put(None)
+                return
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if (self.num_batches is not None
+                and self._consumed >= self.num_batches):
+            raise StopIteration
+        item = self._q.get()
+        if item is None and self._error is not None:
+            err, self._error = self._error, None
+            raise err
+        self._consumed += 1
+        return item
+
+    def close(self):
+        self._stop.set()
+        # Drain so workers blocked on put() can exit.
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
