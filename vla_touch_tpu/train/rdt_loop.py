@@ -154,9 +154,32 @@ class RDTTrainer:
         accum = tcfg.grad_accum
         t0 = time.time()
 
-        for step in range(start_step, max_steps):
+        # Host-side prefetch: batches build in background threads while the
+        # device runs the previous step (≙ DataLoader workers + producer
+        # buffer, SURVEY §2.7).
+        from vla_touch_tpu.data.pipeline import PrefetchLoader
+
+        def make_batch():
             samples = [dataset.sample() for _ in range(micro * accum)]
-            batch = collate(samples, max_lang_len=rcfg.model.max_lang_cond_len)
+            return collate(samples, max_lang_len=rcfg.model.max_lang_cond_len)
+
+        loader = PrefetchLoader(make_batch, depth=2, workers=2,
+                                num_batches=max_steps - start_step)
+        try:
+            state = self._train_loop(loader, state, step_fn, vision_params,
+                                     key, start_step, max_steps, t0)
+        finally:
+            loader.close()
+        final = jax.device_get(state)
+        self.save_checkpoint(final, max_steps)
+        return final
+
+    def _train_loop(self, loader, state, step_fn, vision_params, key,
+                    start_step, max_steps, t0):
+        tcfg, rcfg = self.tcfg, self.rcfg
+        micro, accum = tcfg.batch_size, tcfg.grad_accum
+        for step in range(start_step, max_steps):
+            batch = next(loader)
             img_tokens = encode_images(
                 self.vision_cfg, vision_params,
                 jnp.asarray(batch["images"]), jnp.asarray(batch["image_mask"]))
@@ -200,9 +223,7 @@ class RDTTrainer:
                     f.write(json.dumps(sm) + "\n")
                 logger.info("sample eval @%d: %s", step + 1, sm)
 
-        final = jax.device_get(state)
-        self.save_checkpoint(final, max_steps)
-        return final
+        return state
 
 
 def main(argv=None):
