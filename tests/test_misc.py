@@ -59,3 +59,20 @@ def test_interpolate_action():
     target = np.array([1.0, -1.0, 0.05])
     out = interpolate_action(prev, target, max_step=np.array([0.1, 0.1, 0.1]))
     np.testing.assert_allclose(out, [0.1, -0.1, 0.05])
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from vla_touch_tpu.utils.checkpoint import (
+        load_pytree_orbax,
+        save_pytree_orbax,
+    )
+
+    tree = {"a": jnp.arange(12.0).reshape(3, 4),
+            "b": {"c": jnp.ones(5, jnp.int32)}}
+    path = str(tmp_path / "orbax_ck")
+    save_pytree_orbax(path, tree)
+    back = load_pytree_orbax(path, jax.tree.map(jnp.zeros_like, tree))
+    for x, y in zip(jax.tree.leaves(tree), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -67,6 +67,28 @@ def load_stats(path: str) -> dict:
     return {k: np.asarray(v, np.float32) for k, v in load_json(path).items()}
 
 
+# ---- orbax backend (large-scale: sharded/async save of multi-GB trees) -------
+
+
+def save_pytree_orbax(path: str, tree: Any) -> None:
+    """Orbax StandardCheckpointer save (handles sharded jax.Arrays natively;
+    preferred for the 1B-param training state on pods)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_pytree_orbax(path: str, target: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, target=target)
+
+
 # ---- step-numbered checkpoint directories (RDT trainer semantics) -------------
 
 _CKPT_RE = re.compile(r"^checkpoint-(\d+)$")
