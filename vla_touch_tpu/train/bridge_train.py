@@ -98,7 +98,10 @@ class DiffusionControllerTrainer:
                                is not None else
                                dino.init_params(ccfg.image_model, k_img))
         self.best_val = float("inf")
-        self.metrics_log = os.path.join(output_dir, "training.jsonl")
+        from vla_touch_tpu.utils.metrics import MetricsLogger
+
+        self.metrics = MetricsLogger(output_dir)
+        self.metrics_log = self.metrics.jsonl_path
 
     def _lr(self, step: int, total_steps: int) -> float:
         # cosine schedule, matching the reference's CosineAnnealingLR.
@@ -152,11 +155,9 @@ class DiffusionControllerTrainer:
                                         self.opt_state, self.state.ema,
                                         k, dev_batch, hp)
                 if step % log_every == 0:
-                    row = {k2: float(v) for k2, v in metrics.items()}
-                    row.update(step=step, epoch=epoch, lr=hp["lr"],
-                               elapsed=time.time() - t0)
-                    with open(self.metrics_log, "a") as f:
-                        f.write(json.dumps(row) + "\n")
+                    row = self.metrics.log(
+                        step, {k2: float(v) for k2, v in metrics.items()},
+                        epoch=epoch, lr=hp["lr"])
                     logger.info("step %d loss %.4f (v %.4f s %.4f b %.4f)",
                                 step, row["loss"], row["v_loss"],
                                 row["s_loss"], row["b_loss"])

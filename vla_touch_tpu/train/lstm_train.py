@@ -64,7 +64,10 @@ class LSTMControllerTrainer:
                            is not None
                            else dino.init_params(ccfg.image_model, k_img))
         self.best_val = float("inf")
-        self.metrics_log = os.path.join(output_dir, "training.jsonl")
+        from vla_touch_tpu.utils.metrics import MetricsLogger
+
+        self.metrics = MetricsLogger(output_dir)
+        self.metrics_log = self.metrics.jsonl_path
 
     def prepare_batch(self, batch: dict) -> dict:
         stats = self.state.stats
@@ -100,10 +103,8 @@ class LSTMControllerTrainer:
                     self.ccfg, self.state.params, self.opt_state, k,
                     dev_batch, tcfg.learning_rate)
                 if step % log_every == 0:
-                    row = {"loss": float(loss), "step": step, "epoch": epoch,
-                           "elapsed": time.time() - t0}
-                    with open(self.metrics_log, "a") as f:
-                        f.write(json.dumps(row) + "\n")
+                    row = self.metrics.log(step, {"loss": float(loss)},
+                                           epoch=epoch)
                     logger.info("step %d loss %.5f", step, row["loss"])
                 step += 1
             if (epoch + 1) % tcfg.eval_period_epochs == 0:

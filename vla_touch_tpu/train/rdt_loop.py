@@ -84,7 +84,10 @@ class RDTTrainer:
 
     def __post_init__(self):
         os.makedirs(self.output_dir, exist_ok=True)
-        self.metrics_log = os.path.join(self.output_dir, "training.jsonl")
+        from vla_touch_tpu.utils.metrics import MetricsLogger
+
+        self.metrics = MetricsLogger(self.output_dir)
+        self.metrics_log = self.metrics.jsonl_path
 
     # ---- checkpoint I/O ---------------------------------------------------
 
@@ -205,11 +208,9 @@ class RDTTrainer:
             state, metrics = step_fn(state, k, dev_batch)
 
             if step % 10 == 0:
-                row = {"step": step, "loss": float(metrics["loss"]),
-                       "grad_norm": float(metrics["grad_norm"]),
-                       "elapsed": time.time() - t0}
-                with open(self.metrics_log, "a") as f:
-                    f.write(json.dumps(row) + "\n")
+                row = self.metrics.log(
+                    step, {"loss": float(metrics["loss"]),
+                           "grad_norm": float(metrics["grad_norm"])})
                 logger.info("step %d loss %.4f", step, row["loss"])
 
             if (step + 1) % tcfg.checkpointing_period == 0:
@@ -218,9 +219,7 @@ class RDTTrainer:
             if (step + 1) % tcfg.sample_period == 0:
                 key, k = jax.random.split(key)
                 sm = sample_metrics(rcfg, state.params, k, batch, img_tokens)
-                sm.update(step=step + 1, kind="sample_eval")
-                with open(self.metrics_log, "a") as f:
-                    f.write(json.dumps(sm) + "\n")
+                self.metrics.log(step + 1, sm, kind="sample_eval")
                 logger.info("sample eval @%d: %s", step + 1, sm)
 
         return state
