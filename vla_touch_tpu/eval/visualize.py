@@ -61,6 +61,40 @@ def plot_trajectory_comparison(expert: np.ndarray, vla: np.ndarray,
     return out_path
 
 
+def plot_marker_field(frame: np.ndarray, baseline: dict, result: dict,
+                      out_path: str) -> str:
+    """GelSight marker visualization (≙ ``franka_data/gelsight_visualization
+    .py``): the frame with displacement arrows from the calibration grid and
+    the mean-force vector."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("matplotlib not installed") from e
+
+    frame = np.asarray(frame)
+    cents = np.asarray(baseline["centroids"])
+    disp = np.asarray(result["displacement"])
+    valid = np.asarray(result["valid"])
+    fig, ax = plt.subplots(figsize=(6, 5))
+    ax.imshow(frame, cmap="gray" if frame.ndim == 2 else None)
+    ax.quiver(cents[valid, 0], cents[valid, 1], disp[valid, 0],
+              disp[valid, 1], color="lime", angles="xy",
+              scale_units="xy", scale=0.3, width=0.004)
+    md = np.asarray(result["mean_disp"])
+    cx, cy = frame.shape[1] / 2, frame.shape[0] / 2
+    ax.arrow(cx, cy, float(md[0]) * 5, float(md[1]) * 5, color="red",
+             width=1.0, length_includes_head=True)
+    ax.set_title(f"|F| = {float(result['magnitude']):.2f}")
+    ax.set_axis_off()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
 def plot_samples(expert_b: np.ndarray, vla_b: np.ndarray,
                  refined_b: np.ndarray, out_dir: str,
                  max_samples: int = 4) -> list:

@@ -101,6 +101,31 @@ class LanguageEncoder:
         return written
 
 
+def main(argv=None):
+    """encode_lang CLI (≙ encode_lang.py / encode_lang_batch.py /
+    encode_lang_list.py): precompute instruction embeddings."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="Precompute T5 instruction "
+                                            "embeddings")
+    p.add_argument("--model", default="google/t5-v1_1-xxl")
+    p.add_argument("--instruction", action="append", default=[],
+                   help="repeatable; saved as an instruction dict")
+    p.add_argument("--episodes_dir", default=None,
+                   help="batch mode: embed each episode's instruction.txt")
+    p.add_argument("--out", default="instructions.npz")
+    args = p.parse_args(argv)
+
+    enc = LanguageEncoder(T5Embedder(args.model))
+    if args.episodes_dir:
+        written = enc.encode_directory(args.episodes_dir)
+        print(f"wrote {len(written)} embeddings under {args.episodes_dir}")
+    if args.instruction:
+        d = enc.encode_instructions(args.instruction)
+        save_instruction_dict(args.out, d)
+        print(f"wrote {len(args.instruction)} instructions to {args.out}")
+
+
 def save_instruction_dict(path: str, d: dict) -> None:
     np.savez(path, all_instructions=np.asarray(d["all_instructions"]),
              **{f"emb_{i}": d[k] for i, k in enumerate(d["all_instructions"])})
@@ -113,3 +138,7 @@ def load_instruction_dict(path: str) -> dict:
     for i, n in enumerate(names):
         out[n] = z[f"emb_{i}"]
     return out
+
+
+if __name__ == "__main__":
+    main()
