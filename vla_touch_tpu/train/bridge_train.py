@@ -19,7 +19,6 @@ frozen DinoV2) is one jitted function.
 
 from __future__ import annotations
 
-import json
 import logging
 import os
 import time

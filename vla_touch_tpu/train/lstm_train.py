@@ -9,7 +9,6 @@ obs/force encoders + LSTM + head (``:26-30``), normalized VLA/expert actions
 
 from __future__ import annotations
 
-import json
 import logging
 import os
 import time

@@ -17,7 +17,6 @@ The orchestration layer over :mod:`rdt_train`'s sharded step — equivalent of
 from __future__ import annotations
 
 import dataclasses
-import json
 import logging
 import os
 import time
