@@ -122,12 +122,21 @@ class VLAConsumerDataset:
         rng = self.rng
         ds = self.datasets[int(rng.choice(len(self.datasets),
                                           p=self.dataset_weights))]
-        while True:
+        for attempt in range(1000):
             try:
                 res = ds.get_item()
                 break
-            except Exception:
-                continue
+            except Exception as e:
+                if attempt % 50 == 0:
+                    import logging
+
+                    logging.getLogger("consumer").warning(
+                        "sample retry %d on %s: %r", attempt,
+                        ds.dataset_name, e)
+        else:
+            raise RuntimeError(
+                f"dataset '{ds.dataset_name}' failed 1000 consecutive "
+                "sample attempts — data is systematically invalid")
 
         p = cfg.cond_mask_prob
         out = {

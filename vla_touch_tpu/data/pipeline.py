@@ -53,6 +53,8 @@ class PrefetchLoader:
             self._produced += 1
             return True
 
+    _SENTINEL = object()
+
     def _worker(self):
         while not self._stop.is_set():
             if not self._claim():
@@ -60,8 +62,23 @@ class PrefetchLoader:
             try:
                 batch = self.make_batch()
             except BaseException as e:  # surface in the consumer
-                self._error = e
-                self._q.put(None)
+                with self._lock:
+                    if self._error is None:  # first error wins
+                        self._error = e
+                self._stop.set()
+                # Unblock the consumer even if the queue is full: drop one
+                # pending batch if necessary.
+                try:
+                    self._q.put_nowait(self._SENTINEL)
+                except queue.Full:
+                    try:
+                        self._q.get_nowait()
+                    except queue.Empty:
+                        pass
+                    try:
+                        self._q.put_nowait(self._SENTINEL)
+                    except queue.Full:
+                        pass
                 return
             while not self._stop.is_set():
                 try:
@@ -77,12 +94,21 @@ class PrefetchLoader:
         if (self.num_batches is not None
                 and self._consumed >= self.num_batches):
             raise StopIteration
-        item = self._q.get()
-        if item is None and self._error is not None:
-            err, self._error = self._error, None
-            raise err
-        self._consumed += 1
-        return item
+        while True:
+            if self._error is not None:
+                self.close()
+                raise self._error
+            try:
+                item = self._q.get(timeout=0.5)
+            except queue.Empty:
+                # Either workers are slow or the loader died; re-check error.
+                if self._stop.is_set() and self._error is None:
+                    raise StopIteration
+                continue
+            if item is self._SENTINEL:
+                continue  # loop re-checks _error and raises
+            self._consumed += 1
+            return item
 
     def close(self):
         self._stop.set()

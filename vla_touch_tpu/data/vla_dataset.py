@@ -99,8 +99,12 @@ class UnifiedVLADataset:
             if first_idx is None:
                 return None
 
-            step_id = int(self.rng.integers(
-                first_idx - 1, num_steps - cfg.chunk_size // 2))
+            high = num_steps - cfg.chunk_size // 2
+            if first_idx - 1 >= high:
+                # Episode too short (or motion starts too late) for the
+                # chunk horizon: invalid, caller resamples.
+                return None
+            step_id = int(self.rng.integers(first_idx - 1, high))
             action_id = step_id + 2
 
             qpos = qpos / np.array([[1] * 9 + [GRIPPER_SCALE]])

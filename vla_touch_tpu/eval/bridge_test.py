@@ -51,9 +51,14 @@ def test_diffusion_controller(ckpt_path: str, data_dir: str,
     kw = {}
     if ccfg.use_visual:
         img_cfg = dino.config_for(ccfg.image_model)
-        img_params = (image_encoder_params if image_encoder_params is not None
-                      else dino.init_params(ccfg.image_model,
-                                            jax.random.PRNGKey(7)))
+        img_params = image_encoder_params
+        if img_params is None and ckpt_path:
+            img_params = dino.load_params(ckpt_path, ccfg.image_model)
+        if img_params is None:
+            logger.warning("no persisted image encoder in checkpoint; using "
+                           "a random init — visual metrics are meaningless")
+            img_params = dino.init_params(ccfg.image_model,
+                                          jax.random.PRNGKey(7))
         kw["cam1_feat"] = dino.encode_images(
             img_cfg, img_params, jnp.asarray(batch["images_cam1"][:, -1]))
         kw["cam2_feat"] = dino.encode_images(

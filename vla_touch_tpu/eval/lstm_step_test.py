@@ -42,8 +42,13 @@ def test_lstm_controller(ckpt_path: str, data_dir: str, num_samples: int = 50,
     ctx = 2
 
     img_cfg = dino.config_for(ccfg.image_model)
-    img_params = (image_encoder_params if image_encoder_params is not None
-                  else dino.init_params(ccfg.image_model, jax.random.PRNGKey(7)))
+    img_params = image_encoder_params
+    if img_params is None and ckpt_path:
+        img_params = dino.load_params(ckpt_path, ccfg.image_model)
+    if img_params is None:
+        logger.warning("no persisted image encoder in checkpoint; using a "
+                       "random init — visual metrics are meaningless")
+        img_params = dino.init_params(ccfg.image_model, jax.random.PRNGKey(7))
     f1 = dino.encode_images(img_cfg, img_params,
                             jnp.asarray(batch["images_cam1"][:, -1]))
     f2 = dino.encode_images(img_cfg, img_params,
@@ -52,10 +57,12 @@ def test_lstm_controller(ckpt_path: str, data_dir: str, num_samples: int = 50,
                                  jnp.asarray(batch["states"][:, ctx - 1]),
                                  f1, f2)
 
+    horizon_len = batch["vla_actions"].shape[1]
     refined = L.lstm_predict_sequence(
         ccfg, st.params, st.stats, obs_cond,
         jnp.asarray(batch["vla_actions"]),
-        jnp.asarray(batch["forces"][:, ctx:]))
+        # Decision-time forces (reference lstm_step_test.py:112).
+        jnp.asarray(batch["forces"][:, ctx - 1: ctx - 1 + horizon_len]))
 
     expert = batch["expert_actions"]
     vla = batch["vla_actions"]

@@ -55,3 +55,30 @@ def init_params(name: str, key) -> dict:
     cfg = config_for(name)
     dummy = jnp.zeros((1, 42, 42, 3), jnp.float32)
     return DinoV2Encoder(cfg).init(key, dummy)["params"]
+
+
+def save_params(ckpt_dir: str, name: str, params: dict) -> str:
+    """Persist the encoder weights alongside a controller checkpoint so
+    eval/deployment reconstructs the SAME visual features the controller was
+    trained against."""
+    import os
+
+    from vla_touch_tpu.utils import checkpoint as ckpt
+
+    path = os.path.join(ckpt_dir, "image_encoder.msgpack")
+    ckpt.save_pytree(path, params)
+    return path
+
+
+def load_params(ckpt_dir: str, name: str):
+    """Load persisted encoder weights; None when the checkpoint predates
+    encoder persistence (caller falls back with a warning)."""
+    import os
+
+    from vla_touch_tpu.utils import checkpoint as ckpt
+
+    path = os.path.join(ckpt_dir, "image_encoder.msgpack")
+    if not os.path.exists(path):
+        return None
+    target = init_params(name, jax.random.PRNGKey(0))
+    return ckpt.load_pytree(path, target)

@@ -151,7 +151,9 @@ class TactileLLMDataset:
         self.retrieval_num = retrieval_num
         for path in qa_files:
             for row in json.load(open(path)):
-                if row.get("split", split_name) != split_name:
+                # Rows without an explicit split are train-only
+                # (never leak into eval splits).
+                if row.get("split", "train") != split_name:
                     continue
                 self.samples.append(row)
 

@@ -91,15 +91,12 @@ def process_user_input(text: str, tactile_videos: list,
                        ) -> np.ndarray:
     """Full input pipeline (llm.py:158-194): split on placeholders, embed
     text segments, encode+project tactile videos, splice."""
-    segments = split_on_placeholders(text)
-    text_segments = [s for s in segments if s != TACTILE_PLACEHOLDER]
-    n_tact = sum(1 for s in segments if s == TACTILE_PLACEHOLDER)
+    # str.split keeps empty segments between adjacent placeholders (ranking
+    # prompts legitimately contain '<tact><tact>'), giving exactly
+    # n_videos + 1 text segments.
+    text_segments = text.split(TACTILE_PLACEHOLDER)
+    n_tact = len(text_segments) - 1
     assert n_tact == len(tactile_videos), (n_tact, len(tactile_videos))
-    # Leading/trailing placeholders produce empty segments.
-    if segments and segments[0] == TACTILE_PLACEHOLDER:
-        text_segments = [""] + text_segments
-    if segments and segments[-1] == TACTILE_PLACEHOLDER:
-        text_segments = text_segments + [""]
     D = np.asarray(start_embed).shape[-1]
     seg_embeds = [
         embed_text_fn(s) if s else np.zeros((0, D), np.float32)

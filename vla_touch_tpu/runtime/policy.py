@@ -87,8 +87,9 @@ def policy_step(cfg: PolicyConfig, rdt_params, vision_params, key,
     dtype = m.compute_dtype
 
     # ---- images: mask/normalize on device, encode with SigLIP ------------
-    x = images.astype(jnp.float32) / 255.0
-    x = (x - _SIGLIP_MEAN) / _SIGLIP_MEAN
+    from vla_touch_tpu.utils.image import siglip_normalize
+
+    x = siglip_normalize(images)
     x = jnp.where(image_mask[:, :, None, None, None], x, 0.0)  # bg = mean
     S = cfg.image_size
     flat = x.reshape(B * 6, S, S, 3)

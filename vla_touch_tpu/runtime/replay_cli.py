@@ -59,22 +59,41 @@ def build_scheduler(args, replay) -> ChunkScheduler:
 
     bridge_fn = None
     lstm_fn = None
+    def _prep_cam(img, size=384):
+        # Controllers train on 384-square pad-resized frames
+        # (camera*_resized); deployment must match that distribution.
+        from vla_touch_tpu.utils.image import pad_and_resize_for_siglip
+
+        return jnp.asarray(
+            pad_and_resize_for_siglip(np.asarray(img), size).astype(
+                np.float32)[None] / 255.0)
+
+    def _load_encoder(ckpt_dir, image_model):
+        from vla_touch_tpu.models.encoders import dinov2_runtime as dino
+
+        params = dino.load_params(ckpt_dir, image_model)
+        if params is None:
+            logger.warning("checkpoint has no persisted image encoder; "
+                           "using random init")
+            params = dino.init_params(image_model, jax.random.PRNGKey(7))
+        return params
+
     if args.refiner == "bridge":
         from vla_touch_tpu.models.controllers import bridge as BR
         from vla_touch_tpu.models.encoders import dinov2_runtime as dino
 
         st = BR.load_bridge_controller(args.bridge_ckpt)
         img_cfg = dino.config_for(st.cfg.image_model)
-        img_params = dino.init_params(st.cfg.image_model, jax.random.PRNGKey(7))
+        img_params = _load_encoder(args.bridge_ckpt, st.cfg.image_model)
 
         def bridge_fn(obs, chunk_window):
             with prof.stage("bridge_refine"):
                 kw = {}
                 if st.cfg.use_visual:
                     f1 = dino.encode_images(img_cfg, img_params,
-                                            jnp.asarray(obs.images[0][None]))
+                                            _prep_cam(obs.images[0]))
                     f2 = dino.encode_images(img_cfg, img_params,
-                                            jnp.asarray(obs.images[1][None]))
+                                            _prep_cam(obs.images[1]))
                     kw = dict(cam1_feat=f1, cam2_feat=f2)
                 if st.cfg.use_force:
                     kw["forces"] = jnp.asarray(obs.force[None], jnp.float32)
@@ -92,7 +111,7 @@ def build_scheduler(args, replay) -> ChunkScheduler:
 
         st = LC.load_lstm_controller(args.lstm_ckpt)
         img_cfg = dino.config_for(st.cfg.image_model)
-        img_params = dino.init_params(st.cfg.image_model, jax.random.PRNGKey(7))
+        img_params = _load_encoder(args.lstm_ckpt, st.cfg.image_model)
         module = LC.LSTMControllerModule(st.cfg)
         obs_cond_holder = {}
 
@@ -101,9 +120,9 @@ def build_scheduler(args, replay) -> ChunkScheduler:
                 if first or carry is None:
                     carry = module.bind({"params": st.params}).init_carry(1)
                     f1 = dino.encode_images(img_cfg, img_params,
-                                            jnp.asarray(obs.images[0][None]))
+                                            _prep_cam(obs.images[0]))
                     f2 = dino.encode_images(img_cfg, img_params,
-                                            jnp.asarray(obs.images[1][None]))
+                                            _prep_cam(obs.images[1]))
                     obs_cond_holder["v"] = LC.lstm_encode_obs(
                         st.cfg, st.params,
                         jnp.asarray(obs.state[None], jnp.float32), f1, f2)

@@ -165,17 +165,22 @@ class DiffusionControllerTrainer:
             val = self.validate(data_module)
             if val is not None and val < self.best_val:
                 self.best_val = val
-                B.save_bridge_controller(
-                    os.path.join(self.output_dir, "best"), self.state)
+                self._save(os.path.join(self.output_dir, "best"))
                 logger.info("epoch %d new best val %.4f", epoch, val)
             if (epoch + 1) % save_interval == 0:
-                ck = os.path.join(self.output_dir, f"checkpoint-{epoch + 1}")
-                B.save_bridge_controller(ck, self.state)
+                self._save(os.path.join(self.output_dir,
+                                        f"checkpoint-{epoch + 1}"))
                 from vla_touch_tpu.utils.checkpoint import prune_checkpoints
                 prune_checkpoints(self.output_dir, total_limit=5)
-        B.save_bridge_controller(os.path.join(self.output_dir, "final"),
-                                 self.state)
+        self._save(os.path.join(self.output_dir, "final"))
         return self.state
+
+    def _save(self, path: str):
+        B.save_bridge_controller(path, self.state)
+        if self.ccfg.use_visual:
+            # Persist the visual encoder: the controller's features are only
+            # reproducible with these exact weights.
+            dino.save_params(path, self.ccfg.image_model, self.img_params)
 
     def validate(self, data_module) -> Optional[float]:
         if data_module.val_dataset is None or len(data_module.val_dataset) == 0:

@@ -29,19 +29,31 @@ from vla_touch_tpu.utils.normalization import normalize_actions
 logger = logging.getLogger("lstm_train")
 
 
+def _loss_with_obs(ccfg, params, batch, dropout_key=None):
+    # The observation encoder MUST sit inside the differentiated loss: the
+    # reference trains obs_encoder jointly (lstm_train.py:26-30), so
+    # obs_cond is recomputed here from raw state + frozen image features.
+    obs_cond = L.LSTMControllerModule(ccfg).apply(
+        {"params": params}, batch["state"], batch["cam1_feat"],
+        batch["cam2_feat"], method=L.LSTMControllerModule.encode_obs)
+    inner = {"obs_cond": obs_cond, "vla_act": batch["vla_act"],
+             "forces": batch["forces"], "expert_act": batch["expert_act"]}
+    return L.lstm_loss(ccfg, params, inner, dropout_key=dropout_key)
+
+
 @partial(jax.jit, static_argnames=("ccfg",), donate_argnums=(1, 2))
 def _train_step(ccfg: LSTMControllerConfig, params, opt_state, key, batch,
                 lr):
     opt = optax.adamw(learning_rate=lr, weight_decay=1e-6)
     loss, grads = jax.value_and_grad(
-        lambda p: L.lstm_loss(ccfg, p, batch, dropout_key=key))(params)
+        lambda p: _loss_with_obs(ccfg, p, batch, dropout_key=key))(params)
     updates, opt_state = opt.update(grads, opt_state, params)
     return optax.apply_updates(params, updates), opt_state, loss
 
 
 @partial(jax.jit, static_argnames=("ccfg",))
 def _eval_loss(ccfg: LSTMControllerConfig, params, batch):
-    return L.lstm_loss(ccfg, params, batch)
+    return _loss_with_obs(ccfg, params, batch)
 
 
 class LSTMControllerTrainer:
@@ -75,16 +87,19 @@ class LSTMControllerTrainer:
                                 jnp.asarray(batch["images_cam1"][:, -1]))
         f2 = dino.encode_images(self.img_cfg, self.img_params,
                                 jnp.asarray(batch["images_cam2"][:, -1]))
-        obs_cond = L.lstm_encode_obs(
-            self.ccfg, self.state.params,
-            jnp.asarray(batch["states"][:, ctx - 1]), f1, f2)
+        horizon = batch["vla_actions"].shape[1]
         return {
-            "obs_cond": obs_cond,
+            "state": jnp.asarray(batch["states"][:, ctx - 1]),
+            "cam1_feat": f1,
+            "cam2_feat": f2,
             "vla_act": normalize_actions(jnp.asarray(batch["vla_actions"]),
                                          stats, "vla"),
             "expert_act": normalize_actions(
                 jnp.asarray(batch["expert_actions"]), stats, "expert"),
-            "forces": jnp.asarray(batch["forces"][:, ctx:]),
+            # Decision-time forces: force observed BEFORE each executed step
+            # (reference lstm_train.py: forces[:, ctx-1:-1]).
+            "forces": jnp.asarray(
+                batch["forces"][:, ctx - 1: ctx - 1 + horizon]),
         }
 
     def train(self, data_module: ControllerDataModule,
@@ -110,12 +125,14 @@ class LSTMControllerTrainer:
                 val = self.validate(data_module)
                 if val is not None and val < self.best_val:
                     self.best_val = val
-                    L.save_lstm_controller(
-                        os.path.join(self.output_dir, "best"), self.state)
+                    self._save(os.path.join(self.output_dir, "best"))
                     logger.info("epoch %d new best val %.5f", epoch, val)
-        L.save_lstm_controller(os.path.join(self.output_dir, "final"),
-                               self.state)
+        self._save(os.path.join(self.output_dir, "final"))
         return self.state
+
+    def _save(self, path: str):
+        L.save_lstm_controller(path, self.state)
+        dino.save_params(path, self.ccfg.image_model, self.img_params)
 
     def validate(self, data_module) -> Optional[float]:
         if data_module.val_dataset is None or len(data_module.val_dataset) == 0:

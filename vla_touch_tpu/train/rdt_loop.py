@@ -44,9 +44,10 @@ _SIGLIP_MEAN = 0.5
 def encode_images(vision_cfg: ViTConfig, vision_params, images, image_mask):
     """uint8 frames (B, F, S, S, 3) -> SigLIP tokens (B, F*729, D), frozen
     (no grad), masked frames become the background (≙ train.py:415-418)."""
+    from vla_touch_tpu.utils.image import siglip_normalize
+
     B, F, S, _, _ = images.shape
-    x = images.astype(jnp.float32) / 255.0
-    x = (x - _SIGLIP_MEAN) / _SIGLIP_MEAN
+    x = siglip_normalize(images)
     x = jnp.where(image_mask[:, :, None, None, None], x, 0.0)
     tokens = SiglipVisionEncoder(vision_cfg).apply(
         {"params": vision_params}, x.reshape(B * F, S, S, 3))
