@@ -100,7 +100,8 @@ def test_prompt_learning_clip(rng):
     params = m.init(jax.random.PRNGKey(0), x)["params"]
     out = m.apply({"params": params}, x)
     assert out.shape == (2, 32)
-    assert params["prompts"].shape == (2, 3, 32)
+    # prompts[0] = embedding-level set; [1], [2] = layer sets.
+    assert params["prompts"].shape == (3, 3, 32)
     g = jax.grad(lambda p: jnp.sum(m.apply({"params": p}, x) ** 2))(params)
     assert float(jnp.linalg.norm(g["prompts"])) > 0
     # Different prompts -> different output (prompts influence via attention).

@@ -89,6 +89,14 @@ def test_adapters_match_torch(rng):
 
 def test_predict_action_shapes_determinism_and_mask(rng):
     params = R.init_rdt(RCFG, jax.random.PRNGKey(0))
+    # Break the zero-init final layer so predictions depend on the inputs
+    # and the sampling noise (untrained zero-init outputs exactly 0).
+    params["model"]["final_ffn"]["fc2"] = {
+        "kernel": jnp.asarray(rng.normal(
+            size=params["model"]["final_ffn"]["fc2"]["kernel"].shape) * 0.05,
+            jnp.float32),
+        "bias": params["model"]["final_ffn"]["fc2"]["bias"],
+    }
     m = TINY
     B, Ll = 2, 7
     lang = jnp.asarray(_rand(rng, B, Ll, m.lang_token_dim))

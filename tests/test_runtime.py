@@ -38,15 +38,22 @@ def _policy_cfg():
 def test_policy_step_shapes_and_gripper_scale(rng):
     cfg = _policy_cfg()
     model = P.create_model(cfg, seed=0)
+    # The untrained RDT has a zero-initialized final layer (DiT convention),
+    # so predictions are exactly 0; nudge the final bias to probe the
+    # unpack/rescale path.
+    import jax.numpy as jnp
+
+    model.rdt_params["model"]["final_ffn"]["fc2"]["bias"] = (
+        model.rdt_params["model"]["final_ffn"]["fc2"]["bias"] + 0.5)
     proprio = np.concatenate([rng.normal(size=9), [128.0]])  # raw gripper
     images = [rng.integers(0, 255, (20, 30, 3), np.uint8), None, None,
               rng.integers(0, 255, (20, 30, 3), np.uint8), None, None]
     text = rng.normal(size=(5, TINY_RDT.lang_token_dim)).astype(np.float32)
     out = model.step(proprio, images, text)
     assert out.shape == (1, TINY_RDT.horizon, 10)
-    # Gripper dim comes back in raw units (x255): plausible magnitude check —
-    # normalized outputs are O(1), so raw gripper is O(100).
-    assert np.abs(out[0, :, -1]).max() > np.abs(out[0, :, :9]).max()
+    # Gripper dim comes back in raw units (x255): with the same normalized
+    # bias on every dim, the raw gripper must be ~255x the pose dims.
+    assert np.abs(out[0, :, -1]).max() > 50 * np.abs(out[0, :, :9]).max()
 
 
 def test_policy_step_deterministic_per_key(rng):

@@ -92,10 +92,27 @@ class VLAConsumerDataset:
                        else [1.0] * len(self.datasets), np.float64)
         self.dataset_weights = w / w.sum()
         self.rng = np.random.default_rng(seed)
-        # Per-dataset state mean for the masking path; computed from the
-        # episodes when not supplied (≙ configs/dataset_stat.json).
+        # Per-dataset state stats for the masking path: prefer the
+        # precomputed dataset_stat.json (≙ configs/dataset_stat.json —
+        # produced by data/stats.process_dataset), fall back to an in-place
+        # scan of the episodes.
         if dataset_stats is None:
-            dataset_stats = {}
+            import json as _json
+            import os as _os
+
+            stat_path = _os.path.join(cfg.data_root, "dataset_stat.json")
+            if _os.path.exists(stat_path):
+                raw = _json.load(open(stat_path))
+                dataset_stats = {
+                    name: {"state_mean": np.asarray(v["state_mean"],
+                                                    np.float32),
+                           "state_std": np.asarray(v["state_std"],
+                                                   np.float32)}
+                    for name, v in raw.items()
+                }
+            else:
+                dataset_stats = {}
+        if not dataset_stats:
             for ds in self.datasets:
                 states = [ds.get_item(i, state_only=True)["state"]
                           for i in range(len(ds))]
@@ -180,7 +197,9 @@ class VLAConsumerDataset:
                         img = color_jitter(img, rng)
                     if aug != "color_only":
                         img = image_corrupt(img, rng)
-                frames.append(pad_and_resize_for_siglip(img, cfg.image_size))
+                if img.shape[:2] != (cfg.image_size, cfg.image_size):
+                    img = pad_and_resize_for_siglip(img, cfg.image_size)
+                frames.append(img)
                 masks.append(True)
         out["images"] = np.stack(frames)          # (H*C, S, S, 3) uint8
         out["image_mask"] = np.asarray(masks)

@@ -73,7 +73,7 @@ class UnifiedVLADataset:
         return len(self.file_paths)
 
     def get_item(self, index: Optional[int] = None, state_only: bool = False):
-        while True:
+        for _ in range(1000):
             if index is None:
                 file_path = self.rng.choice(
                     self.file_paths, p=self.episode_sample_weights)
@@ -84,6 +84,10 @@ class UnifiedVLADataset:
             if sample is not None:
                 return sample
             index = int(self.rng.integers(0, len(self.file_paths)))
+        raise RuntimeError(
+            f"dataset '{self.dataset_name}': no episode yielded a valid "
+            "sample in 1000 attempts (all episodes too short for "
+            f"chunk_size={self.cfg.chunk_size} or static)")
 
     # -- parsing -----------------------------------------------------------
 

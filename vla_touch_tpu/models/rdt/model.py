@@ -153,8 +153,11 @@ class RDT(fnn.Module):
             for i in range(cfg.depth)
         ]
         self.final_norm = RmsNorm(name="final_norm", **kw)
+        # Zero-initialized final projection: the untrained denoiser outputs
+        # zeros (reference model.py:119-121).
         self.final_ffn = Mlp(hidden_features=cfg.hidden_size,
-                             out_features=cfg.output_dim, name="final_ffn",
+                             out_features=cfg.output_dim,
+                             zero_init_output=True, name="final_ffn",
                              **kw)
 
         def x_pos_init(key, shape, dt):

@@ -59,11 +59,16 @@ class RmsNorm(fnn.Module):
 
 
 class Mlp(fnn.Module):
-    """timm-style MLP: fc1 -> act -> fc2 (both with bias)."""
+    """timm-style MLP: fc1 -> act -> fc2 (both with bias).
+
+    ``zero_init_output`` zero-initializes fc2 (the DiT final-layer
+    convention, reference ``model.py:119-121``).
+    """
 
     hidden_features: int
     out_features: Optional[int] = None
     act: Callable = gelu_tanh
+    zero_init_output: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -73,7 +78,9 @@ class Mlp(fnn.Module):
         x = fnn.Dense(self.hidden_features, dtype=self.dtype,
                       param_dtype=self.param_dtype, name="fc1")(x)
         x = self.act(x)
-        x = fnn.Dense(out_dim, dtype=self.dtype,
+        kernel_init = (fnn.initializers.zeros if self.zero_init_output
+                       else fnn.linear.default_kernel_init)
+        x = fnn.Dense(out_dim, dtype=self.dtype, kernel_init=kernel_init,
                       param_dtype=self.param_dtype, name="fc2")(x)
         return x
 

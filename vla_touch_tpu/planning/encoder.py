@@ -48,13 +48,20 @@ class CLIPVisionPooled(fnn.Module):
 class PromptLearningCLIPVision(fnn.Module):
     """VPT-deep prompt-learned CLIP vision tower with per-layer gating.
 
-    Equivalent of the reference's ``PromptLearningCLIPEncoderLayer`` vision
-    path (encoder.py:11-127): layers 1..prompt_depth-1 replace the previous
-    layer's prompt outputs with fresh learnable prompt tokens appended at the
-    sequence end; after each gated block the prompt slots blend
-    ``sigmoid(γ)·after + (1-sigmoid(γ))·before``; layer ``prompt_depth``
-    drops the prompt tokens.  Only the prompts and gates train; the CLIP
-    backbone stays frozen.
+    Equivalent of the reference's prompt-learned CLIP vision path
+    (encoder.py:11-127 + the embeddings-level ``VPT`` at :253-256):
+
+    - an embedding-level prompt set (``prompts[0]``) appends to the patch
+      sequence before the pre-layernorm;
+    - layers 1..prompt_depth-1 replace the previous layer's prompt outputs
+      with fresh learnable tokens (``prompts[i]``), after capturing the
+      incoming prompt outputs as ``before``;
+    - after each such block the prompt slots blend
+      ``sigmoid(γ_i)·after + (1-sigmoid(γ_i))·before`` (except the last
+      layer);
+    - layer ``prompt_depth`` drops the prompt tokens.
+
+    Only the prompts and gates train; the CLIP backbone stays frozen.
     """
 
     cfg: ViTConfig = CLIP_VIT_B16
@@ -86,34 +93,41 @@ class PromptLearningCLIPVision(fnn.Module):
         pos = _interpolate_pos_embed(pos, grid, c.image_size // c.patch_size,
                                      c.hidden_size, True)
         x = x + pos.astype(self.dtype)
-        if c.use_pre_norm:
-            x = fnn.LayerNorm(epsilon=c.layernorm_eps, dtype=self.dtype,
-                              name="pre_norm")(x)
 
         prompts = self.param(
             "prompts", fnn.initializers.normal(0.02),
-            (max(self.prompt_depth - 1, 1), self.num_prompts, c.hidden_size),
+            (max(self.prompt_depth, 1), self.num_prompts, c.hidden_size),
             jnp.float32)
         gates = self.param("gates",
                            fnn.initializers.constant(self.gate_prior),
                            (c.num_layers,), jnp.float32)
-
         n = self.num_prompts
+
+        # Embedding-level prompt set, appended before the pre-layernorm
+        # (reference self.VPT, encoder.py:253-256).
+        ctx0 = jnp.broadcast_to(prompts[0].astype(self.dtype),
+                                (B, n, c.hidden_size))
+        x = jnp.concatenate([x, ctx0], axis=1)
+        if c.use_pre_norm:
+            x = fnn.LayerNorm(epsilon=c.layernorm_eps, dtype=self.dtype,
+                              name="pre_norm")(x)
+
         for i in range(c.num_layers):
-            if 0 < i < self.prompt_depth:
-                # Replace previous prompt outputs with fresh learnable tokens
-                # (layer 0 appends the first set).
-                prefix = x[:, : x.shape[1] - n] if i > 1 else x
-                ctx = jnp.broadcast_to(prompts[i - 1].astype(self.dtype),
+            replace = 0 < i < self.prompt_depth
+            before = None
+            if replace:
+                # Capture the PREVIOUS layer's prompt outputs before they are
+                # replaced with fresh learnable tokens (reference gate blend
+                # source, encoder.py:64,116).
+                before = x[:, x.shape[1] - n:]
+                ctx = jnp.broadcast_to(prompts[i].astype(self.dtype),
                                        (B, n, c.hidden_size))
-                x = jnp.concatenate([prefix, ctx], axis=1)
-            elif i == self.prompt_depth and self.prompt_depth > 1:
+                x = jnp.concatenate([x[:, : x.shape[1] - n], ctx], axis=1)
+            elif i == self.prompt_depth:
                 x = x[:, : x.shape[1] - n]  # drop prompt slots
 
-            has_prompts = 0 < i < self.prompt_depth
-            before = x[:, x.shape[1] - n:] if has_prompts else None
             x = ViTBlock(c, dtype=self.dtype, name=f"block{i}")(x)
-            if has_prompts and i != c.num_layers - 1:
+            if replace and i != c.num_layers - 1:
                 g = fnn.sigmoid(gates[i]).astype(self.dtype)
                 after = x[:, x.shape[1] - n:]
                 gated = g * after + (1 - g) * before

@@ -54,7 +54,10 @@ struct Cache {
   const float* forces = nullptr;
   const float* disps = nullptr;
   const float* vla = nullptr;
-  const uint64_t* offsets = nullptr;  // n_cams * (T+1)
+  // Offsets are memcpy'd out of the mmap at open time: the table's file
+  // position is only 4-byte aligned when the forces section is 12*T bytes,
+  // and dereferencing a misaligned uint64_t* is UB.
+  std::vector<uint64_t> offsets;      // n_cams * (T+1)
   const uint8_t* blobs = nullptr;
 };
 
@@ -132,8 +135,10 @@ void* ec_open(const char* path) {
     c->vla = reinterpret_cast<const float*>(p);
     p += size_t(h.T) * h.chunk * h.state_dim * 4;
   }
-  c->offsets = reinterpret_cast<const uint64_t*>(p);
-  p += size_t(h.n_cams) * (h.T + 1) * 8;
+  size_t n_offsets = size_t(h.n_cams) * (h.T + 1);
+  c->offsets.resize(n_offsets);
+  std::memcpy(c->offsets.data(), p, n_offsets * 8);
+  p += n_offsets * 8;
   c->blobs = p;
   return c;
 }
@@ -192,7 +197,7 @@ int ec_decode_frames(void* handle, uint32_t cam, uint32_t start,
   if (!c) return 1;
   const Header& h = c->hdr;
   if (cam >= h.n_cams || start + count > h.T) return 2;
-  const uint64_t* offs = c->offsets + size_t(cam) * (h.T + 1);
+  const uint64_t* offs = c->offsets.data() + size_t(cam) * (h.T + 1);
   std::atomic<int> fail{0};
   std::atomic<uint32_t> next{0};
   const size_t frame_bytes = size_t(h.H) * h.W * 3;

@@ -43,6 +43,10 @@ class PolicyConfig:
     # Per-dim proprio scale divided out before packing (reference gripper
     # /255 convention, franka_model_eef.py:179-182).
     state_scale: tuple = tuple([1.0] * 9 + [255.0])
+    # Per-dim ACTION scale multiplied back on unpack; None = same as
+    # state_scale.  The joint-space Franka uses different gripper scales for
+    # proprio vs action (4.7888 / 13.9231, franka_model.py:174,212).
+    action_scale: tuple = None
     control_frequency: float = 10.0
     image_size: int = 384
     img_history_size: int = 2
@@ -54,12 +58,12 @@ def franka_eef_policy_config(**kw) -> PolicyConfig:
 
 
 def franka_joint_policy_config(**kw) -> PolicyConfig:
-    """8-D joint-space variant (franka_model.py:15,174,212): different
-    indices and gripper scale (4.7888 proprio / 13.9231 action in the
-    reference; we use the proprio scale symmetrically)."""
+    """8-D joint-space variant (franka_model.py:15,174,212): gripper
+    proprio normalizes by 4.7888, gripper ACTION rescales by 13.9231."""
     return PolicyConfig(
         state_indices=tuple(SV.FRANKA_JOINT_STATE_INDICES),
-        state_scale=tuple([1.0] * 7 + [4.7888]), **kw)
+        state_scale=tuple([1.0] * 7 + [4.7888]),
+        action_scale=tuple([1.0] * 7 + [13.9231]), **kw)
 
 
 def aloha_policy_config(**kw) -> PolicyConfig:
@@ -111,7 +115,10 @@ def policy_step(cfg: PolicyConfig, rdt_params, vision_params, key,
         jnp.full((B,), cfg.control_frequency, jnp.float32))
 
     # ---- unpack ------------------------------------------------------------
-    return chunk[:, :, idx] * scale
+    out_scale = jnp.asarray(
+        cfg.action_scale if cfg.action_scale is not None else cfg.state_scale,
+        jnp.float32)
+    return chunk[:, :, idx] * out_scale
 
 
 class RoboticDiffusionTransformerModel:

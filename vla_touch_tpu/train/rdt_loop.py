@@ -133,6 +133,11 @@ class RDTTrainer:
         dataset = VLAConsumerDataset(dcfg, seed=seed, file_paths=file_paths)
         mesh = mesh or mesh_lib.make_mesh(n_data=1, n_model=1)
         if vision_params is None:
+            logger.warning(
+                "no SigLIP weights supplied: image conditioning uses a "
+                "RANDOM tower. Pass vision_params (port the HF checkpoint "
+                "via torch_port.siglip_from_hf or --siglip_checkpoint) for "
+                "meaningful finetuning.")
             dummy = jnp.zeros((1, dcfg.image_size, dcfg.image_size, 3))
             vision_params = SiglipVisionEncoder(self.vision_cfg).init(
                 k_vis, dummy)["params"]
@@ -242,6 +247,9 @@ def main(argv=None):
     p.add_argument("--model_scale", choices=["1b", "170m", "tiny"],
                    default="1b")
     p.add_argument("--resume_from_checkpoint", default="latest")
+    p.add_argument("--siglip_checkpoint", default=None,
+                   help="HF SiglipVisionModel weights (.safetensors or "
+                        "torch .bin) for the frozen image tower")
     args = p.parse_args(argv)
 
     from vla_touch_tpu.config import (NoiseSchedulerConfig, rdt_1b, rdt_170m,
@@ -261,7 +269,23 @@ def main(argv=None):
                       chunk_size=model_cfg.horizon)
     logging.basicConfig(level=logging.INFO)
     trainer = RDTTrainer(rcfg, tcfg, dcfg, args.output_dir)
-    trainer.train(resume_from=args.resume_from_checkpoint)
+    vision_params = None
+    if args.siglip_checkpoint:
+        from vla_touch_tpu.utils.torch_port import siglip_from_hf
+
+        if args.siglip_checkpoint.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+
+            sd = load_file(args.siglip_checkpoint)
+        else:
+            import torch
+
+            sd = {k: v.numpy() for k, v in torch.load(
+                args.siglip_checkpoint, map_location="cpu",
+                weights_only=True).items()}
+        vision_params = siglip_from_hf(sd, num_layers=SIGLIP_SO400M.num_layers)
+    trainer.train(resume_from=args.resume_from_checkpoint,
+                  vision_params=vision_params)
 
 
 if __name__ == "__main__":

@@ -64,5 +64,7 @@ def update(state: EmaState, params, decay) -> EmaState:
 
 
 def update_torch_ema(state: EmaState, params, decay: float = 0.75) -> EmaState:
-    """torch_ema-compatible step (num_updates-corrected decay)."""
-    return update(state, params, torch_ema_decay(decay, state.num_updates))
+    """torch_ema-compatible step: the counter increments BEFORE the decay
+    computation (torch_ema semantics — first update uses (1+1)/(10+1))."""
+    return update(state, params,
+                  torch_ema_decay(decay, state.num_updates + 1))
