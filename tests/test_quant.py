@@ -42,6 +42,14 @@ def test_quantize_tree_selectivity():
 
 def test_quantized_predict_action_close_to_float(rng):
     params = R.init_rdt(RCFG, jax.random.PRNGKey(0))
+    # The final layer is zero-initialized (DiT convention), which would make
+    # both outputs exactly 0; randomize it so the comparison is meaningful.
+    params["model"]["final_ffn"]["fc2"] = {
+        "kernel": jnp.asarray(rng.normal(
+            size=params["model"]["final_ffn"]["fc2"]["kernel"].shape) * 0.05,
+            jnp.float32),
+        "bias": params["model"]["final_ffn"]["fc2"]["bias"],
+    }
     qparams = Q.quantize_rdt_params(params)
 
     m = TINY
