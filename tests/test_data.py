@@ -123,3 +123,42 @@ def test_data_module_split(dataset_dir):
     assert len(dm.train_files) == 2 and len(dm.val_files) == 1
     assert set(dm.train_files).isdisjoint(dm.val_files)
     assert dm.val_dataset is not None and len(dm.val_dataset) > 0
+
+
+def test_npz_episode_support(tmp_path):
+    """UnifiedDataInterface parity: npz episodes load through the same
+    sampler (reference unified_vla_dataset_episode.py:98-172)."""
+    import h5py
+
+    from vla_touch_tpu.data.episode import EpisodeFile
+
+    h5_path = str(tmp_path / "episode_0.h5")
+    E.write_synthetic_episode(h5_path, num_steps=60, img_size=32, chunk=16,
+                              lang_dim=32, with_vla=False)
+    # Convert to the npz layout.
+    with h5py.File(h5_path) as f:
+        npz_path = str(tmp_path / "episode_0.npz")
+        np.savez(npz_path,
+                 ee_poses=np.asarray(f["ee_poses"]),
+                 gripper_pos=np.asarray(f["gripper_pos"]),
+                 camera1_images=np.asarray(f["camera1"]["camera1"]),
+                 camera2_images=np.asarray(f["camera2"]["camera2"]),
+                 instruct_embeddings=np.asarray(f["instruct_embeddings"]),
+                 gelsight_forces=np.asarray(f["gelsight_force"]["forces"]),
+                 gelsight_displacement=np.asarray(
+                     f["gelsight_force"]["displacement"]))
+
+    with EpisodeFile(npz_path) as f:
+        assert "camera1/camera1" in f
+        assert f["ee_poses"].shape == (60, 7)
+
+    cfg = DataConfig(chunk_size=16, image_size=48)
+    ds = UnifiedVLADataset(cfg, file_paths=[npz_path], dataset_name="npz")
+    s = ds.get_item(index=0)
+    assert s["actions"].shape == (16, 128)
+    assert s["cam_high"].shape == (2, 48, 48, 3)
+    # h5 and npz yield identical trajectories.
+    ds_h5 = UnifiedVLADataset(cfg, file_paths=[h5_path], dataset_name="h5")
+    t_npz = ds.get_item(index=0, state_only=True)["state"]
+    t_h5 = ds_h5.get_item(index=0, state_only=True)["state"]
+    np.testing.assert_allclose(t_npz, t_h5, atol=1e-12)

@@ -39,12 +39,68 @@ def natural_sort(filenames):
     return sorted(filenames, key=key)
 
 
-def list_episode_files(data_dir: str, pattern: str = ".h5") -> list:
+def list_episode_files(data_dir: str, pattern=(".h5", ".npz")) -> list:
+    if isinstance(pattern, str):
+        pattern = (pattern,)
     out = []
     for root, _, files in os.walk(data_dir):
-        for name in natural_sort([f for f in files if f.endswith(pattern)]):
+        for name in natural_sort(
+                [f for f in files if f.endswith(tuple(pattern))]):
             out.append(os.path.join(root, name))
     return out
+
+
+class EpisodeFile:
+    """Uniform read access over h5 and npz episodes (≙ the reference's
+    ``UnifiedDataInterface``, unified_vla_dataset_episode.py:98-172).
+
+    npz layout flattens the h5 groups: ``camera1/camera1`` becomes
+    ``camera1_images`` and ``gelsight_force/forces`` becomes
+    ``gelsight_forces`` (the reference's npz key conventions).
+    """
+
+    _NPZ_ALIASES = {
+        "camera1/camera1": "camera1_images",
+        "camera2/camera2": "camera2_images",
+        "gelsight_force/forces": "gelsight_forces",
+        "gelsight_force/displacement": "gelsight_displacement",
+    }
+
+    def __init__(self, path: str):
+        self.path = path
+        self.is_h5 = not path.endswith(".npz")
+        self._f = None
+
+    def __enter__(self):
+        if self.is_h5:
+            import h5py
+
+            self._f = h5py.File(self.path, "r")
+        else:
+            self._f = np.load(self.path, allow_pickle=False)
+        return self
+
+    def __exit__(self, *exc):
+        if self.is_h5:
+            self._f.close()
+        self._f = None
+        return False
+
+    def __contains__(self, key: str) -> bool:
+        if self.is_h5:
+            return key in self._f
+        return self._NPZ_ALIASES.get(key, key) in self._f.files
+
+    def get(self, key: str):
+        """Fetch by h5-style key ('camera1/camera1', 'ee_poses', ...)."""
+        if self.is_h5:
+            node = self._f
+            for part in key.split("/"):
+                node = node[part]
+            return node
+        return self._f[self._NPZ_ALIASES.get(key, key)]
+
+    __getitem__ = get
 
 
 def qpos_from_episode(f) -> np.ndarray:

@@ -23,12 +23,12 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-import h5py
 import numpy as np
 
 from vla_touch_tpu.config import DataConfig
 from vla_touch_tpu.data.episode import (
     GRIPPER_SCALE,
+    EpisodeFile,
     list_episode_files,
     motion_onset_index,
     qpos_from_episode,
@@ -65,7 +65,7 @@ class UnifiedVLADataset:
         self.episode_sample_weights = self.episode_lens / self.episode_lens.sum()
 
     def _episode_len(self, path) -> Optional[int]:
-        with h5py.File(path, "r") as f:
+        with EpisodeFile(path) as f:
             n = f["ee_poses"].shape[0]
         return n if n >= 32 else None
 
@@ -93,7 +93,7 @@ class UnifiedVLADataset:
 
     def parse_file(self, file_path: str):
         cfg = self.cfg
-        with h5py.File(file_path, "r") as f:
+        with EpisodeFile(file_path) as f:
             qpos = qpos_from_episode(f)
             instruction_embedding = np.asarray(f["instruct_embeddings"])[0]
             num_steps = qpos.shape[0]
@@ -153,12 +153,13 @@ class UnifiedVLADataset:
             })
             return sample
 
-    def _parse_img(self, f, key: str, step_id: int):
+    def _parse_img(self, f: EpisodeFile, key: str, step_id: int):
         cfg = self.cfg
-        if key not in f:
+        if f"{key}/{key}" not in f:
             return np.zeros((cfg.img_history_size, 0, 0, 0))
         imgs = np.asarray(
-            f[key][key][max(step_id - cfg.img_history_size + 1, 0): step_id + 1])
+            f[f"{key}/{key}"][max(step_id - cfg.img_history_size + 1, 0):
+                              step_id + 1])
         imgs = pad_and_resize_batch(imgs, cfg.image_size)
         if imgs.shape[0] < cfg.img_history_size:
             imgs = np.concatenate(
@@ -167,7 +168,7 @@ class UnifiedVLADataset:
         return imgs
 
     def parse_file_state_only(self, file_path: str):
-        with h5py.File(file_path, "r") as f:
+        with EpisodeFile(file_path) as f:
             qpos = qpos_from_episode(f)
         first_idx = motion_onset_index(qpos)
         if first_idx is None:
