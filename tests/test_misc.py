@@ -76,3 +76,42 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     back = load_pytree_orbax(path, jax.tree.map(jnp.zeros_like, tree))
     for x, y in zip(jax.tree.leaves(tree), jax.tree.leaves(back)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_rdt_ema_decay_schedule():
+    import jax.numpy as jnp
+
+    from vla_touch_tpu.utils.ema import rdt_ema_decay
+
+    # Before update_after_step the decay is exactly 0 (copy weights).
+    assert float(rdt_ema_decay(jnp.asarray(0), update_after_step=5)) == 0.0
+    # Warmup: grows with step, capped by max_value.
+    d10 = float(rdt_ema_decay(jnp.asarray(10), inv_gamma=1.0, power=0.75))
+    d1000 = float(rdt_ema_decay(jnp.asarray(1000), inv_gamma=1.0, power=0.75))
+    assert 0 < d10 < d1000 <= 0.9999
+
+
+def test_serving_app_gated_without_fastapi(monkeypatch):
+    import builtins
+    import sys
+
+    from vla_touch_tpu.models.encoders.vit import ViTConfig
+    from vla_touch_tpu.planning import encoder as PE
+    from vla_touch_tpu.planning.serving import TactileDescriptionService, build_app
+
+    tiny = ViTConfig(hidden_size=32, num_layers=1, num_heads=4, mlp_dim=64,
+                     patch_size=16, image_size=32, use_layerscale=False,
+                     quick_gelu=True, use_pre_norm=True, layernorm_eps=1e-5,
+                     patch_bias=False)
+    svc = TactileDescriptionService(PE.init_tactile_encoder(tiny))
+
+    real_import = builtins.__import__
+
+    def block_fastapi(name, *a, **kw):
+        if name == "fastapi":
+            raise ImportError("no fastapi")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", block_fastapi)
+    with pytest.raises(RuntimeError, match="fastapi"):
+        build_app(svc)
