@@ -92,8 +92,6 @@ def test_controller_checkpoint_persists_image_encoder(tmp_path):
 
     tiny = ViTConfig(hidden_size=384, num_layers=1, num_heads=4, mlp_dim=64,
                      image_size=28, patch_size=14)
-    params = dino.init_params("dinov2-small", jax.random.PRNGKey(3)) \
-        if False else None
     # Use the tiny config through the registry.
     import unittest.mock as mock
 

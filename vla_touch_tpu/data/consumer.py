@@ -112,18 +112,21 @@ class VLAConsumerDataset:
                 }
             else:
                 dataset_stats = {}
-        if not dataset_stats:
-            for ds in self.datasets:
-                states = [ds.get_item(i, state_only=True)["state"]
-                          for i in range(len(ds))]
-                all_states = np.concatenate(states, axis=0)
-                dataset_stats[ds.dataset_name] = {
-                    "state_mean": all_states.mean(0),
-                    "state_std": all_states.std(0),
-                }
         elif "state_mean" in dataset_stats:  # single-dataset legacy shape
             dataset_stats = {ds.dataset_name: dataset_stats
                              for ds in self.datasets}
+        # Scan any active dataset the stat file doesn't cover (stale/partial
+        # dataset_stat.json must not turn into a KeyError at sample time).
+        for ds in self.datasets:
+            if ds.dataset_name in dataset_stats:
+                continue
+            states = [ds.get_item(i, state_only=True)["state"]
+                      for i in range(len(ds))]
+            all_states = np.concatenate(states, axis=0)
+            dataset_stats[ds.dataset_name] = {
+                "state_mean": all_states.mean(0),
+                "state_std": all_states.std(0),
+            }
         self.dataset_stats = dataset_stats
 
     @property
@@ -143,6 +146,10 @@ class VLAConsumerDataset:
             try:
                 res = ds.get_item()
                 break
+            except RuntimeError:
+                # get_item's own bounded retry already concluded the data is
+                # systematically invalid — don't multiply the retry budgets.
+                raise
             except Exception as e:
                 if attempt % 50 == 0:
                     import logging

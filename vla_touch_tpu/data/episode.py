@@ -39,13 +39,27 @@ def natural_sort(filenames):
     return sorted(filenames, key=key)
 
 
-def list_episode_files(data_dir: str, pattern=(".h5", ".npz")) -> list:
+def list_episode_files(data_dir: str, pattern=(".h5",)) -> list:
+    """Episode files under ``data_dir``.
+
+    Default lists h5 only (several consumers are h5-specific: the controller
+    dataset, the distillation writer).  Pass ``(".h5", ".npz")`` for the
+    unified sampler.  When the same episode exists in both formats, the h5
+    wins (no double counting).
+    """
     if isinstance(pattern, str):
         pattern = (pattern,)
     out = []
     for root, _, files in os.walk(data_dir):
-        for name in natural_sort(
-                [f for f in files if f.endswith(tuple(pattern))]):
+        chosen = {}
+        for f in files:
+            for ext in pattern:
+                if f.endswith(ext):
+                    stem = f[: -len(ext)]
+                    # Prefer .h5 over .npz for same-stem duplicates.
+                    if stem not in chosen or ext == ".h5":
+                        chosen[stem] = f
+        for name in natural_sort(list(chosen.values())):
             out.append(os.path.join(root, name))
     return out
 
@@ -81,8 +95,8 @@ class EpisodeFile:
         return self
 
     def __exit__(self, *exc):
-        if self.is_h5:
-            self._f.close()
+        if self._f is not None:
+            self._f.close()  # NpzFile also holds an open zip/fd
         self._f = None
         return False
 

@@ -48,7 +48,8 @@ class UnifiedVLADataset:
             import os
             file_paths = list_episode_files(
                 os.path.join(cfg.data_root,
-                             f"{self.dataset_name}_hdf5_gelsight"))
+                             f"{self.dataset_name}_hdf5_gelsight"),
+                pattern=(".h5", ".npz"))
         self.file_paths = list(file_paths)
         self.rng = np.random.default_rng(seed)
 

@@ -65,7 +65,7 @@ def save_params(ckpt_dir: str, name: str, params: dict) -> str:
 
     from vla_touch_tpu.utils import checkpoint as ckpt
 
-    path = os.path.join(ckpt_dir, "image_encoder.msgpack")
+    path = os.path.join(ckpt_dir, f"image_encoder_{name}.msgpack")
     ckpt.save_pytree(path, params)
     return path
 
@@ -77,7 +77,10 @@ def load_params(ckpt_dir: str, name: str):
 
     from vla_touch_tpu.utils import checkpoint as ckpt
 
-    path = os.path.join(ckpt_dir, "image_encoder.msgpack")
+    path = os.path.join(ckpt_dir, f"image_encoder_{name}.msgpack")
+    if not os.path.exists(path):
+        # Legacy unnamed file from earlier checkpoints.
+        path = os.path.join(ckpt_dir, "image_encoder.msgpack")
     if not os.path.exists(path):
         return None
     target = init_params(name, jax.random.PRNGKey(0))
