@@ -1,0 +1,89 @@
+"""SigLIP t-1 token cache: cached replan path == full path exactly."""
+
+import numpy as np
+
+from vla_touch_tpu.config import NoiseSchedulerConfig, rdt_tiny
+from vla_touch_tpu.models.encoders.vit import ViTConfig
+from vla_touch_tpu.models.rdt import runner as R
+from vla_touch_tpu.runtime import policy as P
+
+import jax
+import jax.numpy as jnp
+
+TINY_VIT = ViTConfig(hidden_size=48, num_layers=1, num_heads=4, mlp_dim=96,
+                     image_size=28, patch_size=14, use_cls_token=False,
+                     use_layerscale=False, gelu_tanh=True)
+TINY_RDT = rdt_tiny()
+
+
+def _cfg():
+    return P.PolicyConfig(
+        rdt=R.RDTRunnerConfig(model=TINY_RDT, noise=NoiseSchedulerConfig(
+            num_inference_timesteps=3)),
+        vision=TINY_VIT, image_size=28)
+
+
+def test_cached_step_equals_full_step(rng):
+    cfg = _cfg()
+    model = P.create_model(cfg, seed=0, cache_frames=False)
+    proprio = jnp.asarray(rng.normal(size=(1, 10)), jnp.float32)
+    frames = jnp.asarray(rng.integers(0, 255, (1, 6, 28, 28, 3)), jnp.uint8)
+    mask = jnp.asarray([[True, True, False, True, True, False]])
+    text = jnp.asarray(rng.normal(size=(1, 4, TINY_RDT.lang_token_dim)),
+                       jnp.float32)
+    tmask = jnp.ones((1, 4), bool)
+    key = jax.random.PRNGKey(7)
+
+    full = P.policy_step(cfg, model.rdt_params, model.vision_params, key,
+                         proprio, frames, mask, text, tmask)
+    prev_tokens = P.encode_frames(cfg, model.vision_params, frames[:, :3],
+                                  mask[:, :3])
+    cached, cur = P.policy_step_cached(
+        cfg, model.rdt_params, model.vision_params, key, proprio,
+        frames[:, 3:], mask[:, 3:], prev_tokens, text, tmask)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(cached),
+                               rtol=1e-5, atol=1e-6)
+    # carried tokens are exactly the t-frame encodings
+    direct = P.encode_frames(cfg, model.vision_params, frames[:, 3:],
+                             mask[:, 3:])
+    np.testing.assert_allclose(np.asarray(cur), np.asarray(direct),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_wrapper_cache_hit_and_invalidation(rng):
+    cfg = _cfg()
+    base = P.create_model(cfg, seed=0, cache_frames=False)
+    cached_model = P.RoboticDiffusionTransformerModel(
+        cfg, base.rdt_params, base.vision_params, cache_frames=True)
+    plain_model = P.RoboticDiffusionTransformerModel(
+        cfg, base.rdt_params, base.vision_params, cache_frames=False)
+
+    text = rng.normal(size=(4, TINY_RDT.lang_token_dim)).astype(np.float32)
+    proprio = rng.normal(size=10)
+    f = [rng.integers(0, 255, (28, 28, 3), np.uint8) for _ in range(3)]
+
+    # tick 1: window [f0, f1]; tick 2: window [f1, f2] (shift-by-one) — the
+    # cached wrapper must hit its cache on tick 2 and match the plain path.
+    w1 = [f[0], None, None, f[1], None, None]
+    w2 = [f[1], None, None, f[2], None, None]
+    a1c = cached_model.step(proprio, w1, text)
+    assert cached_model._token_cache is not None
+    digest_before = cached_model._token_cache[0]
+    a2c = cached_model.step(proprio, w2, text)
+
+    a1p = plain_model.step(proprio, w1, text)
+    a2p = plain_model.step(proprio, w2, text)
+    np.testing.assert_allclose(a1c, a1p, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(a2c, a2p, rtol=1e-5, atol=1e-6)
+    assert cached_model._token_cache[0] != digest_before
+
+    # Non-contiguous window (random new t-1 frame): digest must miss, and
+    # the result must still match the plain path (stale tokens never used).
+    g = rng.integers(0, 255, (28, 28, 3), np.uint8)
+    w3 = [g, None, None, f[0], None, None]
+    a3c = cached_model.step(proprio, w3, text)
+    a3p = plain_model.step(proprio, w3, text)
+    np.testing.assert_allclose(a3c, a3p, rtol=1e-5, atol=1e-6)
+
+    cached_model.reset()
+    assert cached_model._token_cache is None
