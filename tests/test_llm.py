@@ -1,0 +1,189 @@
+"""In-repo decoder LLM: causality, KV-cache decode parity, LoRA, entropy,
+TP sharding, and end-to-end projection+LoRA training through the real model."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vla_touch_tpu.planning import llm as L
+
+CFG = L.qwen2_tiny(vocab_size=384, hidden_size=64, num_layers=2,
+                   num_heads=4, num_kv_heads=2, mlp_dim=128)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return L.init_llm(CFG, jax.random.PRNGKey(0))
+
+
+def test_causality(params, rng):
+    """hidden[t] must not depend on embeds[t+1:]."""
+    e1 = jnp.asarray(rng.normal(size=(1, 6, CFG.hidden_size)), jnp.float32)
+    e2 = e1.at[0, 4:].set(rng.normal(size=(2, CFG.hidden_size)))
+    h1 = L.llm_forward(CFG, params, e1)
+    h2 = L.llm_forward(CFG, params, e2)
+    np.testing.assert_allclose(np.asarray(h1[0, :4]), np.asarray(h2[0, :4]),
+                               rtol=1e-5, atol=1e-6)
+    assert not np.allclose(np.asarray(h1[0, 5]), np.asarray(h2[0, 5]))
+
+
+def test_padding_mask(params, rng):
+    """Padded positions must not influence real tokens."""
+    e = jnp.asarray(rng.normal(size=(1, 5, CFG.hidden_size)), jnp.float32)
+    epad = jnp.concatenate(
+        [e, jnp.asarray(rng.normal(size=(1, 3, CFG.hidden_size)),
+                        jnp.float32)], axis=1)
+    # padding sits AFTER the real tokens; causal mask already blocks it
+    mask = jnp.asarray([[1, 1, 1, 1, 1, 0, 0, 0]], bool)
+    h = L.llm_forward(CFG, params, epad, attn_mask=mask)
+    href = L.llm_forward(CFG, params, e)
+    np.testing.assert_allclose(np.asarray(h[0, :5]), np.asarray(href[0]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_greedy_decode_matches_full_forward(params, rng):
+    """KV-cache scan decode == argmax chain of repeated full forwards."""
+    Lp, T = 4, 5
+    prompt = jnp.asarray(rng.normal(size=(1, Lp, CFG.hidden_size)),
+                         jnp.float32)
+    toks, ents, _ = L.greedy_generate(CFG, params, prompt,
+                                      max_new_tokens=T, eos_id=-1)
+    # oracle: repeatedly run the full (uncached) forward
+    e = prompt
+    want = []
+    for _ in range(T):
+        h = L.llm_forward(CFG, params, e)
+        nxt = int(jnp.argmax(L.lm_logits(CFG, params, h[:, -1]), -1)[0])
+        want.append(nxt)
+        e = jnp.concatenate([e, L.embed_tokens(params,
+                                               jnp.asarray([[nxt]]))], axis=1)
+    assert [int(t) for t in np.asarray(toks[0])] == want
+    assert ents.shape == (1, T) and bool(jnp.all(ents >= 0))
+
+
+def test_lora_zero_is_identity_and_trains(params, rng):
+    e = jnp.asarray(rng.normal(size=(1, 5, CFG.hidden_size)), jnp.float32)
+    lora = L.init_lora(CFG, jax.random.PRNGKey(1), rank=4)
+    h0 = L.llm_forward(CFG, params, e)
+    h1 = L.llm_forward(CFG, params, e, lora=lora)
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), atol=1e-6)
+
+    # one LoRA grad step moves the output; base params untouched
+    tgt = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(1, 5)))
+    msk = jnp.ones((1, 5), jnp.float32)
+
+    def loss(lo_layers):
+        return L.lm_loss(CFG, params, e, tgt, msk,
+                         lora={"layers": lo_layers, "scale": lora["scale"]})
+
+    l0 = float(loss(lora["layers"]))
+    g = jax.grad(loss)(lora["layers"])
+    gnorm = sum(float(jnp.sum(jnp.abs(x)))
+                for x in jax.tree.leaves(g))
+    assert gnorm > 0
+    stepped = jax.tree.map(lambda p, gg: p - 0.1 * gg, lora["layers"], g)
+    assert float(loss(stepped)) < l0
+
+
+def test_hf_key_map_covers_tree(params):
+    m = L.hf_key_map(CFG)
+    paths = set()
+    for pth, _ in m.values():
+        paths.add(pth)
+
+    def walk(node, path=()):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                yield from walk(v, path + (k,))
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                yield from walk(v, path + (i,))
+        else:
+            yield path
+
+    for leaf_path in walk(params):
+        assert leaf_path in paths, leaf_path
+
+
+def test_tp_sharding_runs_on_mesh(params, rng):
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devs, ("model",))
+    sharded = L.shard_llm_params(mesh, params)
+    e = jnp.asarray(rng.normal(size=(1, 5, CFG.hidden_size)), jnp.float32)
+
+    @jax.jit
+    def f(p, e):
+        return L.lm_logits(CFG, p, L.llm_forward(CFG, p, e))
+
+    with mesh:
+        got = f(sharded, e)
+    want = f(params, e)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_byte_tokenizer_roundtrip():
+    tok = L.ByteTokenizer()
+    s = "press the sponge, then report hardness 3/10"
+    assert tok.decode(tok.encode(s)) == s
+    assert tok.vocab_size > tok.PAD
+
+
+@pytest.mark.slow
+def test_e2e_projection_lora_training(tmp_path):
+    """The VERDICT item-5 'done' bar: tiny-scale end-to-end QA training with
+    decreasing loss and a greedy-decode test dump through the REAL decoder."""
+    import cv2
+
+    from vla_touch_tpu.models.encoders.vit import ViTConfig
+    from vla_touch_tpu.planning import encoder as PE
+    from vla_touch_tpu.planning.datasets import TactileLLMDataset
+    from vla_touch_tpu.planning import run_llm as RL
+
+    tiny_clip = ViTConfig(hidden_size=32, num_layers=1, num_heads=4,
+                          mlp_dim=64, patch_size=16, image_size=32,
+                          use_layerscale=False, quick_gelu=True,
+                          use_pre_norm=True, layernorm_eps=1e-5,
+                          patch_bias=False)
+    rng = np.random.default_rng(0)
+    rows = []
+    for i, ans in enumerate(["hard", "soft"]):
+        vdir = tmp_path / f"video{i}"
+        vdir.mkdir()
+        for t in range(3):
+            cv2.imwrite(str(vdir / f"{t:03d}.jpg"),
+                        np.full((32, 32, 3), 80 + 60 * i, np.uint8))
+        rows.append({"split": "train", "question": "the surface is <tact>",
+                     "tactile": [str(vdir)], "answer": ans})
+    qa_path = str(tmp_path / "qa.json")
+    json.dump(rows, open(qa_path, "w"))
+
+    st = PE.init_tactile_encoder(tiny_clip, jax.random.PRNGKey(0))
+    params = L.init_llm(CFG, jax.random.PRNGKey(3))
+    # LoRA finetunes a PRETRAINED base (as in the reference); pretrain the
+    # tiny base on the answer language first (full-param path).
+    params, pre_loss = L.train_lm(
+        CFG, params, ["the surface is hard", "the surface is soft"],
+        steps=150, lr=1e-2)
+    assert pre_loss < 1.0, pre_loss
+    ds = TactileLLMDataset([qa_path], split_name="train")
+    out = str(tmp_path / "out")
+    proj, lora = RL.train_projection_and_lora(
+        st, CFG, params, ds, out, epochs=25, lr=3e-3, lora_rank=4,
+        frame_size=32)
+    logged = [json.loads(l) for l in open(os.path.join(
+        out, "llm_training.jsonl"))]
+    first, last = logged[0]["loss"], logged[-1]["loss"]
+    assert last < first * 0.7, (first, last)
+
+    # greedy-decode dump through the real decoder
+    iface = RL.make_llm_interface(CFG, params, lora=lora, max_new_tokens=8)
+    preds = RL.test_llm(st, iface, proj, ds, out, frame_size=32)
+    assert len(preds) == 2 and all("prediction" in p for p in preds)
+    assert iface.last_entropy is not None and iface.last_entropy.ndim == 1

@@ -75,3 +75,34 @@ def test_quantized_predict_action_close_to_float(rng):
     # Correlation stays near-perfect (directionally identical chunks).
     corr = np.corrcoef(ref_n.ravel(), got_n.ravel())[0, 1]
     assert corr > 0.99, corr
+
+
+def test_kv_projections_stay_bf16(rng):
+    """Cross-attn kv projections are excluded from int8 (compute-bound, no
+    measured speedup) and must match the float kv path to bf16 precision."""
+    params = R.init_rdt(RCFG, jax.random.PRNGKey(1))
+    qparams = Q.quantize_rdt_params(params)
+    mp = qparams["model"]
+    for i in range(TINY.depth):
+        kv = mp[f"block{i}"]["cross_attn"]["kv"]
+        assert "w_i8" not in kv and kv["kernel"].dtype == jnp.bfloat16
+        # everything else in the block is int8
+        assert "w_i8" in mp[f"block{i}"]["attn"]["qkv"]
+        assert "w_i8" in mp[f"block{i}"]["ffn"]["fc1"]
+
+    m = TINY
+    B = 2
+    lang_c = jnp.asarray(rng.normal(size=(B, 5, m.hidden_size)), jnp.float32)
+    img_c = jnp.asarray(rng.normal(size=(B, m.img_cond_len, m.hidden_size)),
+                        jnp.float32)
+    got = Q.compute_cond_kv_quant(mp, m, lang_c, img_c)
+    assert len(got) == m.depth
+    # bf16 kv vs f32 oracle on block 0
+    fp = params["model"]["block0"]["cross_attn"]
+    c = lang_c + np.asarray(params["model"]["lang_cond_pos_embed"][:, :5])
+    kv_f32 = np.asarray(c @ np.asarray(fp["kv"]["kernel"])
+                        + np.asarray(fp["kv"]["bias"]))
+    hd = m.hidden_size // m.num_heads
+    v_f32 = kv_f32.reshape(B, 5, 2, m.num_heads, hd)[:, :, 1]
+    np.testing.assert_allclose(np.asarray(got[0][1], np.float32), v_f32,
+                               rtol=2e-2, atol=2e-2)

@@ -25,16 +25,43 @@ from vla_touch_tpu.models.rdt import runner as R
 from vla_touch_tpu.ops import schedulers as sched_lib
 from vla_touch_tpu.ops.attention import dot_product_attention
 from vla_touch_tpu.ops.pos_embed import timestep_embedding
-from vla_touch_tpu.ops.quant import qdense, quantize_tree
+from vla_touch_tpu.ops.quant import qdense, quantize_linear, quantize_tree
 
 
 def quantize_rdt_params(params: dict) -> dict:
-    """Quantize every 2-D Dense in the runner tree except the tiny timestep
-    embedders (their inputs are 1-token and scales matter for t-conditioning)."""
-    def should(path, leaf):
-        return not any("embedder" in p for p in path)
+    """Quantize every 2-D Dense in the runner tree except:
 
-    return quantize_tree(params, should)
+    - the tiny timestep embedders (1-token inputs; scales matter for
+      t-conditioning);
+    - the cross-attention KV projections, which run ONCE per chunk on the
+      long condition sequences and are COMPUTE-bound there (46 GFLOP each on
+      4374 img tokens): int8 measured zero speedup on them (xprof: 0.39 ms
+      either way — the narrow-N int8 emitter doesn't reach the MXU's 2x
+      int8 rate) so they stay bf16 and contribute no quantization error.
+      (A single wide stacked KV matmul was also tried and measured *slower*
+      — XLA tiles N=64512 at ~40% MXU vs ~60% for the narrow ops.)
+
+    The denoise-loop matmuls (28 blocks x qkv/proj/q/proj/fc1/fc2, read
+    every step) are the weight-streaming-bound part and get a8w8 int8.
+    """
+    def should(path, leaf):
+        if any("embedder" in p for p in path):
+            return False
+        return not (len(path) >= 2 and path[-2] == "cross_attn"
+                    and path[-1] == "kv")
+
+    q = quantize_tree(params, should)
+
+    def cast_kv(node, path=()):
+        if isinstance(node, dict):
+            if len(path) >= 2 and path[-2] == "cross_attn" and \
+                    path[-1] == "kv" and "kernel" in node:
+                return {"kernel": jnp.asarray(node["kernel"], jnp.bfloat16),
+                        "bias": jnp.asarray(node["bias"], jnp.float32)}
+            return {k: cast_kv(v, path + (k,)) for k, v in node.items()}
+        return node
+
+    return cast_kv(q)
 
 
 def _rmsnorm(x, w, eps=1e-6):
@@ -88,19 +115,27 @@ def _adaptor(p, x):
 
 
 def compute_cond_kv_quant(mp: dict, cfg: RDTModelConfig, lang_c, img_c):
-    """Per-block cached K/V from quantized kv projections."""
+    """Per-block cached K/V.  The kv projections are bf16 (see
+    :func:`quantize_rdt_params`); everything else in this path is int8."""
     dtype = jnp.bfloat16
     lang_c = lang_c.astype(dtype) + jnp.asarray(
         mp["lang_cond_pos_embed"][:, : lang_c.shape[1]], dtype)
     img_c = img_c.astype(dtype) + jnp.asarray(mp["img_cond_pos_embed"], dtype)
     conds = (lang_c, img_c)
+    hd = cfg.hidden_size // cfg.num_heads
+
     out = []
     for i in range(cfg.depth):
         ca = mp[f"block{i}"]["cross_attn"]
         c = conds[i % 2]
         B, L, _ = c.shape
-        hd = cfg.hidden_size // cfg.num_heads
-        kv = qdense(c, ca["kv"]).reshape(B, L, 2, cfg.num_heads, hd)
+        if "w_i8" in ca["kv"]:
+            kv = qdense(c, ca["kv"])
+        else:
+            kv = (jnp.dot(c, ca["kv"]["kernel"],
+                          preferred_element_type=jnp.float32)
+                  + ca["kv"]["bias"]).astype(dtype)
+        kv = kv.reshape(B, L, 2, cfg.num_heads, hd)
         k = _rmsnorm(kv[:, :, 0], ca["k_norm"]["weight"])
         out.append((k, kv[:, :, 1]))
     return out

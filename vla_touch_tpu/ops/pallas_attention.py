@@ -42,15 +42,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)            # (Lq, D)
-    k = k_ref[0].astype(jnp.float32)            # (BK, D)
-    v = v_ref[0].astype(jnp.float32)            # (BK, D)
+    # Keep the MXU inputs in their storage dtype (bf16): f32 MXU issue rate
+    # is 8x lower and the f32 accumulation comes free via
+    # preferred_element_type.  The scale folds into q pre-matmul.
+    q = q_ref[0]                                # (Lq, D) bf16
+    k = k_ref[0]                                # (BK, D) bf16
+    v = v_ref[0]                                # (BK, D) bf16
     valid = mask_ref[0, 0:1, :]                 # (1, BK) int32
 
     s = jax.lax.dot_general(
-        q * scale, k, (((1,), (1,)), ((), ())),
+        (q.astype(jnp.float32) * scale).astype(q.dtype), k,
+        (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (Lq, BK)
+    )  # (Lq, BK) f32
     s = jnp.where(valid > 0, s, _NEG_INF)
 
     m_prev = m_scr[:, 0:1]                      # (Lq, 1)
@@ -64,7 +68,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr,
 
     l_new = alpha * l_scr[:, 0:1] + jnp.sum(p, axis=-1, keepdims=True)
     acc_new = alpha * acc_scr[:] + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     m_scr[:, 0:1] = m_new

@@ -108,3 +108,87 @@ def qdense_pallas(x, qp: dict, out_dtype=jnp.bfloat16):
     Pallas streaming kernel (w8a16 instead of a8w8 — strictly lower error)."""
     return w8a16_matmul(x, qp["w_i8"], qp["scale"], qp.get("bias"),
                         out_dtype=out_dtype)
+
+
+# ---- fused a8w8: in-kernel activation quant + int8 MXU + dequant -----------
+
+
+def _a8w8_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, xi_scr, rs_scr):
+    # x_ref: (Mp, K) bf16 resident; w_ref: (K, bn) int8 streamed;
+    # s_ref/b_ref: (1, bn) f32.  Scratch: xi (Mp, K) int8, rs (Mp, 128) f32.
+    @pl.when(pl.program_id(0) == 0)
+    def _quantize_x():
+        xf = x_ref[...].astype(jnp.float32)
+        amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-8)
+        rs_scr[...] = jnp.broadcast_to(amax * (1.0 / 127.0), rs_scr.shape)
+        xi_scr[...] = jnp.clip(jnp.round(xf * (127.0 / amax)),
+                               -127, 127).astype(jnp.int8)
+
+    acc = jnp.dot(xi_scr[...], w_ref[...], preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * rs_scr[:, 0:1] * s_ref[...] + b_ref[...]
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "out_dtype",
+                                             "interpret"))
+def a8w8_matmul(x, w_i8, scale, bias=None, *, block_n: int = 1152,
+                out_dtype=jnp.bfloat16, interpret: bool = False):
+    """Fused dynamic-int8 matmul: quantize activations per-token in-kernel,
+    multiply int8 x int8 -> int32 on the MXU, dequantize on the way out.
+
+    One kernel replaces XLA's abs-reduce + clamp/convert + int8-dot +
+    rescale op chain (measured ~450 us/denoise-step of separate quant ops in
+    the RDT serving path).  Weights stream as int8 — half the HBM bytes of
+    the bf16 path.  Numerics identical to :func:`ops.quant.qdense`.
+    """
+    *lead, K = x.shape
+    N = w_i8.shape[1]
+    assert w_i8.shape[0] == K and K % 128 == 0 and N % 128 == 0, \
+        (x.shape, w_i8.shape)
+
+    M = 1
+    for d in lead:
+        M *= d
+    x2 = x.reshape(M, K).astype(jnp.bfloat16)
+    Mp = _round_up(max(M, 8), 32)          # int8 scratch needs 32-sublanes
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+
+    bn = min(block_n, N)
+    grid = (_cdiv(N, bn),)
+    s2 = scale.reshape(1, N).astype(jnp.float32)
+    b2 = (bias.reshape(1, N).astype(jnp.float32) if bias is not None
+          else jnp.zeros((1, N), jnp.float32))
+
+    out = pl.pallas_call(
+        _a8w8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Mp, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, bn), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Mp, K), jnp.int8),
+            pltpu.VMEM((Mp, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * K * 2 + K * N + Mp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, w_i8, s2, b2)
+
+    return out[:M].reshape(*lead, N)
+
+
+def qdense_pallas_a8w8(x, qp: dict, out_dtype=jnp.bfloat16, interpret=False):
+    """a8w8 drop-in for :func:`vla_touch_tpu.ops.quant.qdense` (same scheme,
+    one fused kernel)."""
+    return a8w8_matmul(x, qp["w_i8"], qp["scale"], qp.get("bias"),
+                       out_dtype=out_dtype, interpret=interpret)

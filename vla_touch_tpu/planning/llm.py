@@ -1,0 +1,499 @@
+"""Decoder-only multimodal LLM for the Octopi tactile stack, TPU-native.
+
+Replaces the reference's HF-loaded LLaMA-3.1-8B / Qwen2.5-7B
+(``/root/reference/octopi/octopi_s/utils/llm.py:15-113``) with an in-repo
+Qwen2-style transformer as pure functions over an explicit parameter tree:
+
+- GQA attention with rotary embeddings + qkv bias, RMSNorm, SwiGLU MLP —
+  the Qwen2 architecture, so real checkpoints port 1:1 (HF key map in
+  :func:`hf_key_map`);
+- the forward consumes input EMBEDDINGS, so tactile-token splicing
+  (``llm_splice.py``) is a straight concatenation before the call
+  (reference ``llm.py:158-194``);
+- LoRA adapters on every projection (reference peft path ``llm.py:86-113``)
+  as explicit (A, B) factor trees — training differentiates through only
+  LoRA + the tactile projector;
+- greedy decode as a ``lax.scan`` over a preallocated KV cache, returning
+  per-step token ENTROPY (the reference's introspection, ``llm.py:223-241``);
+- multi-chip serving via NamedSharding TP specs (:func:`llm_tp_spec`)
+  instead of the reference's ``infer_auto_device_map`` GPU dispatch
+  (``llm.py:45-75``).
+
+A byte-level tokenizer keeps the whole stack runnable without network
+access; the same interfaces accept a HF tokenizer when one is available.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# Config
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class LLMConfig:
+    vocab_size: int = 384
+    hidden_size: int = 128
+    num_layers: int = 2
+    num_heads: int = 4
+    num_kv_heads: int = 2
+    mlp_dim: int = 256
+    rope_theta: float = 1e6
+    rms_eps: float = 1e-6
+    tie_embeddings: bool = True
+    qkv_bias: bool = True              # Qwen2 convention
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+def qwen2_tiny(**kw) -> LLMConfig:
+    return LLMConfig(**kw)
+
+
+def qwen25_7b() -> LLMConfig:
+    """The reference's Qwen2.5-7B-Instruct dims (llm.py:24-31)."""
+    return LLMConfig(vocab_size=152064, hidden_size=3584, num_layers=28,
+                     num_heads=28, num_kv_heads=4, mlp_dim=18944,
+                     rope_theta=1e6, tie_embeddings=False)
+
+
+def llama31_8b() -> LLMConfig:
+    """The reference's LLaMA-3.1-8B dims (llm.py:15-23; no qkv bias)."""
+    return LLMConfig(vocab_size=128256, hidden_size=4096, num_layers=32,
+                     num_heads=32, num_kv_heads=8, mlp_dim=14336,
+                     rope_theta=5e5, tie_embeddings=False, qkv_bias=False)
+
+
+# --------------------------------------------------------------------------
+# Parameters
+# --------------------------------------------------------------------------
+
+
+def init_llm(cfg: LLMConfig, key) -> dict:
+    ks = jax.random.split(key, cfg.num_layers + 2)
+
+    def dense(k, din, dout, bias):
+        p = {"kernel": jax.random.normal(k, (din, dout), jnp.float32)
+             * (din ** -0.5)}
+        if bias:
+            p["bias"] = jnp.zeros((dout,), jnp.float32)
+        return p
+
+    D, hd = cfg.hidden_size, cfg.head_dim
+    layers = []
+    for i in range(cfg.num_layers):
+        kq, kk, kv, ko, kg, ku, kd = jax.random.split(ks[i], 7)
+        layers.append({
+            "input_norm": jnp.ones((D,), jnp.float32),
+            "q": dense(kq, D, cfg.num_heads * hd, cfg.qkv_bias),
+            "k": dense(kk, D, cfg.num_kv_heads * hd, cfg.qkv_bias),
+            "v": dense(kv, D, cfg.num_kv_heads * hd, cfg.qkv_bias),
+            "o": dense(ko, cfg.num_heads * hd, D, False),
+            "post_norm": jnp.ones((D,), jnp.float32),
+            "gate": dense(kg, D, cfg.mlp_dim, False),
+            "up": dense(ku, D, cfg.mlp_dim, False),
+            "down": dense(kd, cfg.mlp_dim, D, False),
+        })
+    params = {
+        "embed": jax.random.normal(ks[-2], (cfg.vocab_size, D), jnp.float32)
+        * 0.02,
+        "layers": layers,
+        "final_norm": jnp.ones((D,), jnp.float32),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = dense(ks[-1], D, cfg.vocab_size, False)
+    return params
+
+
+def hf_key_map(cfg: LLMConfig) -> dict:
+    """HF safetensors key -> (tree path, transpose) for Qwen2/LLaMA ports.
+
+    Linear weights are stored (out, in) in torch; ours are (in, out)."""
+    m = {"model.embed_tokens.weight": (("embed",), False)}
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        t = ("layers", i)
+        m.update({
+            p + "input_layernorm.weight": (t + ("input_norm",), False),
+            p + "self_attn.q_proj.weight": (t + ("q", "kernel"), True),
+            p + "self_attn.q_proj.bias": (t + ("q", "bias"), False),
+            p + "self_attn.k_proj.weight": (t + ("k", "kernel"), True),
+            p + "self_attn.k_proj.bias": (t + ("k", "bias"), False),
+            p + "self_attn.v_proj.weight": (t + ("v", "kernel"), True),
+            p + "self_attn.v_proj.bias": (t + ("v", "bias"), False),
+            p + "self_attn.o_proj.weight": (t + ("o", "kernel"), True),
+            p + "post_attention_layernorm.weight": (t + ("post_norm",), False),
+            p + "mlp.gate_proj.weight": (t + ("gate", "kernel"), True),
+            p + "mlp.up_proj.weight": (t + ("up", "kernel"), True),
+            p + "mlp.down_proj.weight": (t + ("down", "kernel"), True),
+        })
+    m["model.norm.weight"] = (("final_norm",), False)
+    if not cfg.tie_embeddings:
+        m["lm_head.weight"] = (("lm_head", "kernel"), True)
+    return m
+
+
+# --------------------------------------------------------------------------
+# LoRA (reference llm.py:86-113, peft)
+# --------------------------------------------------------------------------
+
+LORA_TARGETS = ("q", "k", "v", "o", "gate", "up", "down")
+
+
+def init_lora(cfg: LLMConfig, key, rank: int = 8, alpha: float = 16.0,
+              targets=LORA_TARGETS) -> dict:
+    """Per-layer (A, B) factors; B zero-initialized so the adapted model
+    starts exactly at the base model."""
+    dims = {
+        "q": (cfg.hidden_size, cfg.num_heads * cfg.head_dim),
+        "k": (cfg.hidden_size, cfg.num_kv_heads * cfg.head_dim),
+        "v": (cfg.hidden_size, cfg.num_kv_heads * cfg.head_dim),
+        "o": (cfg.num_heads * cfg.head_dim, cfg.hidden_size),
+        "gate": (cfg.hidden_size, cfg.mlp_dim),
+        "up": (cfg.hidden_size, cfg.mlp_dim),
+        "down": (cfg.mlp_dim, cfg.hidden_size),
+    }
+    keys = jax.random.split(key, cfg.num_layers * len(targets))
+    layers = []
+    ki = 0
+    for _ in range(cfg.num_layers):
+        lp = {}
+        for t in targets:
+            din, dout = dims[t]
+            lp[t] = {"A": jax.random.normal(keys[ki], (din, rank),
+                                            jnp.float32) * (din ** -0.5),
+                     "B": jnp.zeros((rank, dout), jnp.float32)}
+            ki += 1
+        layers.append(lp)
+    return {"layers": layers, "scale": float(alpha) / float(rank)}
+
+
+def _dense(x, p, lora=None, scale=1.0):
+    y = x @ p["kernel"]
+    if "bias" in p:
+        y = y + p["bias"]
+    if lora is not None:
+        y = y + (x @ lora["A"]) @ lora["B"] * scale
+    return y
+
+
+# --------------------------------------------------------------------------
+# Forward
+# --------------------------------------------------------------------------
+
+
+def _rmsnorm(x, w, eps):
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), -1, keepdims=True) + eps)
+    return (y * w).astype(x.dtype)
+
+
+def _rope(x, positions, theta):
+    """x (B, L, H, hd), positions (B, L) -> rotated (NEOX half-split)."""
+    B, L, H, hd = x.shape
+    half = hd // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = positions.astype(jnp.float32)[:, :, None] * freqs[None, None, :]
+    cos = jnp.cos(ang)[:, :, None, :]
+    sin = jnp.sin(ang)[:, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    xr = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+    return xr.astype(x.dtype)
+
+
+def _attend(q, k, v, mask):
+    """q (B,Lq,H,hd); k/v (B,Lk,Hkv,hd); mask (B,Lq,Lk) bool True=attend."""
+    B, Lq, H, hd = q.shape
+    Hkv = k.shape[2]
+    if Hkv != H:
+        rep = H // Hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * (hd ** -0.5)
+    s = jnp.where(mask[:, None], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32)
+                      ).astype(q.dtype).reshape(B, Lq, H * hd)
+
+
+def _layer(cfg: LLMConfig, lp, x, positions, mask, lora, lscale,
+           kv_in=None):
+    """One decoder block.  ``kv_in``: optional cached (k, v) to prepend
+    (decode step); returns (x, (k_new, v_new))."""
+    B, L, D = x.shape
+    hd, H, Hkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+    h = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
+    lo = lora or {}
+    q = _dense(h, lp["q"], lo.get("q"), lscale).reshape(B, L, H, hd)
+    k = _dense(h, lp["k"], lo.get("k"), lscale).reshape(B, L, Hkv, hd)
+    v = _dense(h, lp["v"], lo.get("v"), lscale).reshape(B, L, Hkv, hd)
+    q = _rope(q, positions, cfg.rope_theta)
+    k = _rope(k, positions, cfg.rope_theta)
+    if kv_in is not None:
+        k = jnp.concatenate([kv_in[0], k], axis=1)
+        v = jnp.concatenate([kv_in[1], v], axis=1)
+    att = _attend(q, k, v, mask)
+    x = x + _dense(att, lp["o"], lo.get("o"), lscale)
+    h = _rmsnorm(x, lp["post_norm"], cfg.rms_eps)
+    g = _dense(h, lp["gate"], lo.get("gate"), lscale)
+    u = _dense(h, lp["up"], lo.get("up"), lscale)
+    x = x + _dense(jax.nn.silu(g) * u, lp["down"], lo.get("down"), lscale)
+    return x, (k, v)
+
+
+def llm_forward(cfg: LLMConfig, params: dict, embeds, positions=None,
+                attn_mask=None, lora: Optional[dict] = None,
+                return_kv: bool = False):
+    """Causal forward over input embeddings.
+
+    embeds (B, L, D); positions (B, L) default arange; attn_mask (B, L)
+    True=real token (padding masked out of attention AND never attended).
+    Returns hidden (B, L, D) (and per-layer (k, v) if ``return_kv``).
+    """
+    B, L, D = embeds.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+    causal = jnp.tril(jnp.ones((L, L), bool))[None]          # (1, L, L)
+    mask = causal if attn_mask is None else (
+        causal & attn_mask[:, None, :])
+    lscale = (lora or {}).get("scale", 0.0)
+    llayers = (lora or {}).get("layers", [None] * cfg.num_layers)
+    x = embeds
+    kvs = []
+    for lp, lol in zip(params["layers"], llayers):
+        x, kv = _layer(cfg, lp, x, positions, mask, lol, lscale)
+        kvs.append(kv)
+    x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    return (x, kvs) if return_kv else x
+
+
+def lm_logits(cfg: LLMConfig, params: dict, hidden):
+    if cfg.tie_embeddings:
+        return hidden @ params["embed"].T
+    return _dense(hidden, params["lm_head"])
+
+
+def embed_tokens(params: dict, ids):
+    return jnp.take(params["embed"], ids, axis=0)
+
+
+def lm_loss(cfg: LLMConfig, params: dict, input_embeds, target_ids,
+            loss_mask, lora: Optional[dict] = None):
+    """Teacher-forced CE: position t predicts ``target_ids[t]`` (already
+    shifted by the caller).  Differentiable w.r.t. ``input_embeds`` (the
+    tactile projector trains through this) and ``lora``."""
+    hidden = llm_forward(cfg, params, input_embeds, lora=lora)
+    logits = lm_logits(cfg, params, hidden).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, target_ids[..., None], -1)[..., 0]
+    denom = jnp.maximum(jnp.sum(loss_mask), 1.0)
+    return jnp.sum(nll * loss_mask) / denom
+
+
+def token_entropy(logits):
+    """Shannon entropy (nats) per position — the reference's introspection
+    signal (llm.py:223-241)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.sum(jnp.exp(logp) * logp, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "eos_id"))
+def greedy_generate(cfg: LLMConfig, params: dict, prompt_embeds,
+                    max_new_tokens: int = 32, eos_id: int = 1,
+                    lora: Optional[dict] = None):
+    """Greedy decode with a preallocated KV cache (one ``lax.scan``).
+
+    prompt_embeds (B, Lp, D).  Returns (tokens (B, T), entropies (B, T),
+    lengths (B,)) — positions after EOS hold EOS."""
+    B, Lp, D = prompt_embeds.shape
+    T = max_new_tokens
+    # Prompt pass
+    hidden, kvs = llm_forward(cfg, params, prompt_embeds, lora=lora,
+                              return_kv=True)
+    logits0 = lm_logits(cfg, params, hidden[:, -1])
+    tok0 = jnp.argmax(logits0, axis=-1)
+    ent0 = token_entropy(logits0)
+
+    hd, Hkv = cfg.head_dim, cfg.num_kv_heads
+    Lmax = Lp + T
+
+    def grow(kv):
+        k, v = kv
+        pad = ((0, 0), (0, T), (0, 0), (0, 0))
+        return jnp.pad(k, pad), jnp.pad(v, pad)
+
+    cache = [grow(kv) for kv in kvs]
+    kv_len0 = jnp.full((B,), Lp, jnp.int32)
+
+    lscale = (lora or {}).get("scale", 0.0)
+    llayers = (lora or {}).get("layers", [None] * cfg.num_layers)
+
+    def step(carry, _):
+        cache, tok, kv_len, done = carry
+        x = embed_tokens(params, tok)[:, None]            # (B, 1, D)
+        pos = kv_len[:, None]
+        valid = (jnp.arange(Lmax)[None, None] < (kv_len + 1)[:, None, None])
+        new_cache = []
+        for li, (lp, lol) in enumerate(zip(params["layers"], llayers)):
+            kc, vc = cache[li]
+            h = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
+            lo = lol or {}
+            q = _dense(h, lp["q"], lo.get("q"), lscale).reshape(
+                B, 1, cfg.num_heads, hd)
+            k = _dense(h, lp["k"], lo.get("k"), lscale).reshape(B, 1, Hkv, hd)
+            v = _dense(h, lp["v"], lo.get("v"), lscale).reshape(B, 1, Hkv, hd)
+            q = _rope(q, pos, cfg.rope_theta)
+            k = _rope(k, pos, cfg.rope_theta)
+            kc = jax.vmap(
+                lambda c, upd, i: jax.lax.dynamic_update_slice(
+                    c, upd, (i, 0, 0)))(kc, k, kv_len)
+            vc = jax.vmap(
+                lambda c, upd, i: jax.lax.dynamic_update_slice(
+                    c, upd, (i, 0, 0)))(vc, v, kv_len)
+            att = _attend(q, kc, vc, valid)
+            x2 = x + _dense(att, lp["o"], lo.get("o"), lscale)
+            h2 = _rmsnorm(x2, lp["post_norm"], cfg.rms_eps)
+            g = _dense(h2, lp["gate"], lo.get("gate"), lscale)
+            u = _dense(h2, lp["up"], lo.get("up"), lscale)
+            x = x2 + _dense(jax.nn.silu(g) * u, lp["down"], lo.get("down"),
+                            lscale)
+            new_cache.append((kc, vc))
+        x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
+        logits = lm_logits(cfg, params, x[:, 0])
+        nxt = jnp.argmax(logits, axis=-1)
+        ent = token_entropy(logits)
+        nxt = jnp.where(done, eos_id, nxt)
+        new_done = done | (nxt == eos_id)
+        return (new_cache, nxt, kv_len + 1, new_done), (nxt, ent)
+
+    done0 = tok0 == eos_id
+    if T > 1:
+        (_, _, _, _), (toks, ents) = jax.lax.scan(
+            step, (cache, tok0, kv_len0, done0), None, length=T - 1)
+        tokens = jnp.concatenate([tok0[None], toks], axis=0).T   # (B, T)
+        entropies = jnp.concatenate([ent0[None], ents], axis=0).T
+    else:
+        tokens, entropies = tok0[:, None], ent0[:, None]
+    lengths = jnp.sum(tokens != eos_id, axis=1) + (
+        jnp.any(tokens == eos_id, axis=1)).astype(jnp.int32)
+    return tokens, entropies, lengths
+
+
+# --------------------------------------------------------------------------
+# TP sharding (replaces the reference's infer_auto_device_map, llm.py:45-75)
+# --------------------------------------------------------------------------
+
+
+def llm_tp_spec(path: tuple):
+    """Megatron TP: shard q/k/v/gate/up on output features, o/down on input
+    features, embed on vocab; XLA inserts the all-reduces."""
+    from jax.sharding import PartitionSpec as P
+
+    keys = [getattr(p, "key", getattr(p, "idx", p)) for p in path]
+    keys = [str(k) for k in keys]
+    name = "/".join(keys)
+    if keys and keys[0] == "embed":
+        return P("model", None)
+    if name.endswith("kernel"):
+        if any(f"/{t}/" in f"/{name}/" for t in ("q", "k", "v", "gate", "up")):
+            return P(None, "model")
+        if any(f"/{t}/" in f"/{name}/" for t in ("o", "down", "lm_head")):
+            return P("model", None)
+    if name.endswith("bias"):
+        if any(f"/{t}/" in f"/{name}/" for t in ("q", "k", "v")):
+            return P("model")
+    return P()
+
+
+def shard_llm_params(mesh, params):
+    from jax.sharding import NamedSharding
+
+    shardings = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, llm_tp_spec(path)), params)
+    return jax.device_put(params, shardings)
+
+
+# --------------------------------------------------------------------------
+# Byte-level tokenizer (network-free; HF tokenizers drop in via duck typing)
+# --------------------------------------------------------------------------
+
+
+class ByteTokenizer:
+    """bytes 0..255 -> ids 0..255; specials above."""
+
+    BOS = 256
+    EOS = 257
+    TACTILE_START = 258
+    TACTILE_END = 259
+    PAD = 260
+    vocab_size = 384     # rounded up for layout friendliness
+
+    def encode(self, text: str, add_bos: bool = False) -> list:
+        ids = list(text.encode("utf-8", errors="replace"))
+        return ([self.BOS] if add_bos else []) + ids
+
+    def decode(self, ids) -> str:
+        bs = bytes(int(i) for i in np.asarray(ids).reshape(-1)
+                   if 0 <= int(i) < 256)
+        return bs.decode("utf-8", errors="replace")
+
+
+# --------------------------------------------------------------------------
+# Full-parameter LM training (base-model pretraining / finetuning)
+# --------------------------------------------------------------------------
+
+
+def train_lm(cfg: LLMConfig, params: dict, texts, tokenizer=None,
+             steps: int = 200, lr: float = 1e-2, seed: int = 0):
+    """Plain full-parameter causal-LM training on a list of strings.
+
+    The LoRA path (like the reference's peft finetuning, llm.py:86-113)
+    presumes a PRETRAINED base — with a random 0.02-scale tied embedding the
+    final RMSNorm caps attainable logits at ~|h|*|e| ~= 1.3 and LoRA alone
+    plateaus near ln(V).  This helper provides that base in-repo (and is the
+    full-finetune alternative the reference also supports)."""
+    import optax
+
+    tok = tokenizer or ByteTokenizer()
+    seqs = [[tok.BOS] + list(tok.encode(t)) + [tok.EOS] for t in texts]
+    Lmax = max(len(s) for s in seqs)
+    ids = np.full((len(seqs), Lmax), tok.PAD, np.int32)
+    msk = np.zeros((len(seqs), Lmax), np.float32)
+    for i, s in enumerate(seqs):
+        ids[i, :len(s)] = s
+        msk[i, 1:len(s)] = 1.0          # predict everything after BOS
+    ids = jnp.asarray(ids)
+    # shifted teacher forcing: position t predicts ids[t+1]
+    inp, tgt = ids[:, :-1], ids[:, 1:]
+    attn = jnp.asarray(msk[:, :-1] > -1)    # all positions attendable
+    lmask = jnp.asarray(msk[:, 1:])
+
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_of(p):
+            e = embed_tokens(p, inp)
+            return lm_loss(cfg, p, e, tgt, lmask)
+
+        loss, g = jax.value_and_grad(loss_of)(params)
+        updates, new_opt = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, loss
+
+    loss = None
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state)
+    return params, float(loss)
