@@ -93,15 +93,25 @@ class RDTTrainer:
 
     def save_checkpoint(self, state: T.TrainState, step: int):
         path = os.path.join(self.output_dir, f"checkpoint-{step}")
-        ckpt.save_pytree(os.path.join(path, "params.msgpack"), state.params)
-        ckpt.save_pytree(os.path.join(path, "ema.msgpack"), state.ema.shadow)
-        ckpt.save_pytree(os.path.join(path, "opt_state.msgpack"),
-                         state.opt_state)
-        ckpt.save_json(os.path.join(path, "meta.json"),
-                       {"step": step,
-                        "ema_num_updates": int(state.ema.num_updates)})
-        ckpt.prune_checkpoints(self.output_dir,
-                               self.tcfg.checkpoints_total_limit)
+        if jax.process_count() > 1:
+            # Cross-host sharded state (ZeRO moments live on other hosts):
+            # all processes cooperate through the orbax backend.
+            ckpt.save_pytree_orbax(os.path.join(path, "state.orbax"), {
+                "params": state.params, "ema": state.ema.shadow,
+                "opt_state": state.opt_state})
+        else:
+            ckpt.save_pytree(os.path.join(path, "params.msgpack"),
+                             state.params)
+            ckpt.save_pytree(os.path.join(path, "ema.msgpack"),
+                             state.ema.shadow)
+            ckpt.save_pytree(os.path.join(path, "opt_state.msgpack"),
+                             state.opt_state)
+        if jax.process_index() == 0:
+            ckpt.save_json(os.path.join(path, "meta.json"),
+                           {"step": step,
+                            "ema_num_updates": int(state.ema.num_updates)})
+            ckpt.prune_checkpoints(self.output_dir,
+                                   self.tcfg.checkpoints_total_limit)
 
     def load_checkpoint(self, state: T.TrainState, path: str) -> T.TrainState:
         from vla_touch_tpu.utils.ema import EmaState
@@ -130,8 +140,15 @@ class RDTTrainer:
         key = jax.random.PRNGKey(seed)
         k_init, k_vis, key = jax.random.split(key, 3)
 
-        dataset = VLAConsumerDataset(dcfg, seed=seed, file_paths=file_paths)
-        mesh = mesh or mesh_lib.make_mesh(n_data=1, n_model=1)
+        # Per-process data stream: each host samples its own shard of the
+        # global batch (model-init seed stays shared across hosts).
+        data_seed = seed + 9973 * jax.process_index()
+        dataset = VLAConsumerDataset(dcfg, seed=data_seed,
+                                     file_paths=file_paths)
+        if mesh is None:
+            mesh = (mesh_lib.make_mesh(n_data=jax.device_count(), n_model=1)
+                    if jax.process_count() > 1
+                    else mesh_lib.make_mesh(n_data=1, n_model=1))
         if vision_params is None:
             logger.warning(
                 "no SigLIP weights supplied: image conditioning uses a "
@@ -175,17 +192,26 @@ class RDTTrainer:
                                 num_batches=max_steps - start_step)
         try:
             state = self._train_loop(loader, state, step_fn, vision_params,
-                                     key, start_step, max_steps, t0)
+                                     key, start_step, max_steps, t0,
+                                     mesh=mesh)
         finally:
             loader.close()
+        if jax.process_count() > 1:
+            self.save_checkpoint(state, max_steps)
+            return state
         final = jax.device_get(state)
         self.save_checkpoint(final, max_steps)
         return final
 
     def _train_loop(self, loader, state, step_fn, vision_params, key,
-                    start_step, max_steps, t0):
+                    start_step, max_steps, t0, mesh=None):
         tcfg, rcfg = self.tcfg, self.rcfg
         micro, accum = tcfg.batch_size, tcfg.grad_accum
+        multihost = jax.process_count() > 1
+        if multihost:
+            from jax.sharding import PartitionSpec as P
+
+            from vla_touch_tpu.parallel import launch
         for step in range(start_step, max_steps):
             batch = next(loader)
             img_tokens = encode_images(
@@ -208,24 +234,51 @@ class RDTTrainer:
                 "action_mask": shape_micro(batch["action_mask"]),
                 "ctrl_freqs": shape_micro(batch["ctrl_freqs"]),
             }
+            if multihost:
+                # Assemble the global (accum, micro*P, ...) batch from each
+                # host's local shard (≙ per-rank DataLoader under DeepSpeed).
+                # img_tokens round-trips via host here; a device-resident
+                # cross-host reshard is possible but the frozen-encode path
+                # is not the bottleneck at pod scale.
+                dev_batch = launch.host_local_batch(
+                    mesh, jax.tree.map(np.asarray, dev_batch),
+                    spec=P(None, mesh_lib.DATA_AXIS))
 
             key, k = jax.random.split(key)
             state, metrics = step_fn(state, k, dev_batch)
 
-            if step % 10 == 0:
+            if step % 10 == 0 and jax.process_index() == 0:
                 row = self.metrics.log(
                     step, {"loss": float(metrics["loss"]),
                            "grad_norm": float(metrics["grad_norm"])})
                 logger.info("step %d loss %.4f", step, row["loss"])
 
             if (step + 1) % tcfg.checkpointing_period == 0:
-                self.save_checkpoint(jax.device_get(state), step + 1)
+                self.save_checkpoint(
+                    state if jax.process_count() > 1
+                    else jax.device_get(state), step + 1)
 
             if (step + 1) % tcfg.sample_period == 0:
                 key, k = jax.random.split(key)
-                sm = sample_metrics(rcfg, state.params, k, batch, img_tokens)
-                self.metrics.log(step + 1, sm, kind="sample_eval")
-                logger.info("sample eval @%d: %s", step + 1, sm)
+                if multihost:
+                    # Globalize the eval batch so every process runs the
+                    # same SPMD rollout against the (globally placed) params.
+                    keys = ("lang_tokens", "lang_mask", "state_tokens",
+                            "action_gt", "action_mask", "ctrl_freqs",
+                            "state_norm")
+                    eb = launch.host_local_batch(
+                        mesh, {n: np.asarray(batch[n]) for n in keys},
+                        spec=P(mesh_lib.DATA_AXIS))
+                    gt = launch.host_local_batch(
+                        mesh, np.asarray(img_tokens),
+                        spec=P(mesh_lib.DATA_AXIS))
+                    sm = sample_metrics(rcfg, state.params, k, eb, gt)
+                else:
+                    sm = sample_metrics(rcfg, state.params, k, batch,
+                                        img_tokens)
+                if jax.process_index() == 0:
+                    self.metrics.log(step + 1, sm, kind="sample_eval")
+                    logger.info("sample eval @%d: %s", step + 1, sm)
 
         return state
 
@@ -234,6 +287,12 @@ def main(argv=None):
     import argparse
 
     p = argparse.ArgumentParser(description="Finetune RDT (data-parallel)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for multi-host training "
+                        "(auto-detected on TPU pods; ≙ DeepSpeed hostfile, "
+                        "finetune.sh:31)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--data_root", default="data/datasets")
     p.add_argument("--dataset_name", default="mango")
     p.add_argument("--output_dir", default="checkpoints/rdt")
@@ -254,6 +313,18 @@ def main(argv=None):
 
     from vla_touch_tpu.config import (NoiseSchedulerConfig, rdt_1b, rdt_170m,
                                       rdt_tiny)
+    from vla_touch_tpu.parallel import launch
+
+    # Multi-host: must run before any other jax use (≙ the reference's
+    # accelerate/DeepSpeed NCCL process-group init, train/train.py:83-92).
+    distributed = launch.initialize(coordinator_address=args.coordinator,
+                                    num_processes=args.num_processes,
+                                    process_id=args.process_id)
+    if distributed:
+        logging.getLogger("rdt_loop").info(
+            "distributed: process %d/%d, %d local + %d global devices",
+            jax.process_index(), jax.process_count(),
+            len(jax.local_devices()), len(jax.devices()))
 
     model_cfg = {"1b": rdt_1b, "170m": rdt_170m, "tiny": rdt_tiny}[
         args.model_scale]()
