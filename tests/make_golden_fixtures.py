@@ -1,0 +1,258 @@
+"""Generate full-configuration golden parity fixtures (torch oracle side).
+
+Produces ``tests/fixtures/golden/*.npz`` consumed by
+``tests/test_golden_parity.py``:
+
+- ``rdt_full.npz``    — RDT at the reference's full configuration
+  (``/root/reference/VLA/models/rdt/model.py:24-35``: hidden 1152, depth 28,
+  16 heads; our ``rdt_170m`` config with horizon 64 and the 4374-token image
+  condition): one f32 forward and one 5-step DPM-Solver++ rollout with fixed
+  starting noise, computed through the torch oracle
+  (``tests/torch_ref/rdt_torch.py``) + the SAME scheduler step functions the
+  framework uses (single-sourced; their correctness is covered by the
+  analytic exactness tests in ``tests/test_schedulers.py``).
+- ``bridge_full.npz`` — one 10-step Euler–Maruyama SDE rollout at the
+  canonical BRIDGeR configuration (triple UNet-1D 256/512/512, vs form)
+  through the torch UNet oracle with a recorded noise sequence
+  (``bridge_model.py:259-387`` semantics).
+- ``lstm_full.npz``   — one full-config LSTM residual-controller sequence
+  forward (``lstm_step_controller.py:288-319``).
+
+Only OUTPUTS and weight fingerprints are stored; all inputs and torch
+weights regenerate deterministically from the seeds recorded in the npz.
+Rerun:  python tests/make_golden_fixtures.py
+"""
+
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+OUT = os.path.join(REPO, "tests", "fixtures", "golden")
+
+TORCH_SEED = 7
+INPUT_SEED = 11
+
+
+def _fingerprint(sd: dict, keys) -> dict:
+    fp = {}
+    for k in keys:
+        w = np.asarray(sd[k], np.float64)
+        fp[f"fp_{k}"] = np.array([w.mean(), w.std(), np.abs(w).max()])
+    return fp
+
+
+# ---------------------------------------------------------------- RDT -----
+
+def rdt_inputs(m):
+    rng = np.random.default_rng(INPUT_SEED)
+    B, Ll = 1, 48
+    lang = rng.normal(size=(B, Ll, m.lang_token_dim)).astype(np.float32)
+    lang_mask = np.ones((B, Ll), bool)
+    lang_mask[0, 40:] = False
+    img = rng.normal(
+        size=(B, m.img_cond_len, m.img_token_dim)).astype(np.float32)
+    state = rng.normal(size=(B, 1, m.state_token_dim)).astype(np.float32)
+    amask = np.zeros((B, 1, m.output_dim), np.float32)
+    amask[:, :, 30:40] = 1.0
+    freqs = np.full((B,), 10.0, np.float32)
+    noise = rng.normal(size=(B, m.horizon, m.output_dim)).astype(np.float32)
+    return lang, lang_mask, img, state, amask, freqs, noise
+
+
+def make_torch_runner(m):
+    import torch
+
+    from tests.torch_ref.rdt_torch import TorchAdapter, TorchRDT
+
+    torch.manual_seed(TORCH_SEED)
+    model = TorchRDT(m.output_dim, m.horizon, m.hidden_size, m.depth,
+                     m.num_heads, m.max_lang_cond_len, m.img_cond_len).eval()
+    lang_ad = TorchAdapter("mlp2x_gelu", m.lang_token_dim,
+                           m.hidden_size).eval()
+    img_ad = TorchAdapter("mlp2x_gelu", m.img_token_dim, m.hidden_size).eval()
+    state_ad = TorchAdapter("mlp3x_gelu", m.state_token_dim * 2,
+                            m.hidden_size).eval()
+    return model, lang_ad, img_ad, state_ad
+
+
+def torch_runner_sd(model, lang_ad, img_ad, state_ad) -> dict:
+    sd = {}
+    for prefix, mod in (("model.", model), ("lang_adaptor.", lang_ad),
+                        ("img_adaptor.", img_ad), ("state_adaptor.",
+                                                   state_ad)):
+        for k, v in mod.state_dict().items():
+            sd[prefix + k.replace("net.", "")] = v.detach().numpy()
+    return sd
+
+
+def gen_rdt():
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from vla_touch_tpu.config import NoiseSchedulerConfig, rdt_170m
+    from vla_touch_tpu.ops import schedulers as S
+
+    m = rdt_170m()
+    ncfg = NoiseSchedulerConfig()
+    model, lang_ad, img_ad, state_ad = make_torch_runner(m)
+    sd = torch_runner_sd(model, lang_ad, img_ad, state_ad)
+
+    lang, lang_mask, img, state, amask, freqs, noise = rdt_inputs(m)
+    T = lambda a: torch.from_numpy(np.asarray(a))
+
+    with torch.no_grad():
+        lang_c = lang_ad(T(lang))
+        img_c = img_ad(T(img))
+        state_in = np.concatenate([state, amask], axis=2)
+        state_traj = state_ad(T(state_in))
+        mask_h = np.broadcast_to(amask, (1, m.horizon, m.output_dim)).copy()
+
+        # --- single forward golden (fixed timestep) ---------------------
+        action_in = np.concatenate([noise, mask_h], axis=2)
+        action_traj = state_ad(T(action_in))
+        x = torch.cat([state_traj, action_traj], dim=1)
+        fwd = model(x, T(freqs), torch.tensor([500]), lang_c, img_c,
+                    T(lang_mask)).numpy()
+
+        # --- 5-step DPM-Solver++ rollout with fixed init noise ----------
+        sched = S.DiffusionSchedule.create(ncfg.num_train_timesteps,
+                                           ncfg.beta_schedule)
+        steps = 5
+        tables = S.make_dpm_tables(sched, steps, True, "zero")
+        xt = jnp.asarray(noise)
+        x0_prev = jnp.zeros_like(xt)
+        for i in range(steps):
+            t_i = int(np.asarray(tables.timesteps)[i])
+            action_in = np.concatenate(
+                [np.asarray(xt, np.float32), mask_h], axis=2)
+            action_traj = state_ad(T(action_in))
+            xfull = torch.cat([state_traj, action_traj], dim=1)
+            out = model(xfull, T(freqs), torch.tensor([t_i]), lang_c, img_c,
+                        T(lang_mask)).numpy()
+            x0 = S.model_output_to_x0(jnp.asarray(out), xt, i, tables,
+                                      ncfg.prediction_type)
+            xt = S.dpm_solver_step(xt, x0, x0_prev, i, tables)
+            x0_prev = x0
+        rollout = np.asarray(xt) * mask_h
+
+    fp = _fingerprint(sd, [
+        "model.blocks.0.attn.qkv.weight", "model.blocks.27.ffn.fc2.weight",
+        "model.final_layer.ffn_final.fc1.weight",
+        "lang_adaptor.0.weight", "state_adaptor.4.weight"])
+    np.savez_compressed(
+        os.path.join(OUT, "rdt_full.npz"), forward=fwd, rollout=rollout,
+        torch_seed=TORCH_SEED, input_seed=INPUT_SEED, steps=5, t_fwd=500,
+        **fp)
+    print("rdt_full: fwd", fwd.shape, "rollout", rollout.shape,
+          float(np.abs(rollout).max()))
+
+
+# ------------------------------------------------------------- BRIDGeR ----
+
+def bridge_inputs(horizon=16, state_dim=10, cond_dim=256):
+    rng = np.random.default_rng(INPUT_SEED + 1)
+    B = 2
+    x_prior = rng.normal(size=(B, horizon, state_dim)).astype(np.float32)
+    cond = rng.normal(size=(B, cond_dim)).astype(np.float32)
+    noise_seq = rng.normal(size=(10, B, horizon, state_dim)).astype(
+        np.float32)
+    return x_prior, cond, noise_seq
+
+
+def make_torch_si_nets():
+    import torch
+
+    from tests.torch_ref.unet1d_torch import TorchConditionalUnet1D
+
+    torch.manual_seed(TORCH_SEED + 1)
+    v = TorchConditionalUnet1D(10, 256, down_dims=(256, 512, 512)).eval()
+    s = TorchConditionalUnet1D(10, 256, down_dims=(256, 512, 512)).eval()
+    return v, s
+
+
+def gen_bridge():
+    import torch
+
+    from vla_touch_tpu.config import InterpolantConfig
+    from vla_touch_tpu.models.controllers import interpolants as I
+
+    cfg = InterpolantConfig()
+    assert cfg.sde_type == "vs"
+    v_net, s_net = make_torch_si_nets()
+    x_prior, cond, noise_seq = bridge_inputs()
+
+    n = cfg.diffusion_steps
+    dt = 1.0 / n
+    x = torch.from_numpy(x_prior)
+    condT = torch.from_numpy(cond)
+    with torch.no_grad():
+        for step in range(n):
+            t_scalar = float(np.clip((step + 1) / n, cfg.t_min,
+                                     1.0 - cfg.t_min))
+            tb = torch.full((x.shape[0],), t_scalar)
+            t_jnp = np.full((x.shape[0],), t_scalar, np.float32)
+            g_inv = float(np.asarray(I.gamma_inv(cfg, t_jnp))[0])
+            g = float(np.asarray(I.gamma(cfg, t_jnp))[0])
+            g_der = float(np.asarray(I.gamma_der(cfg, t_jnp))[0])
+            eps_t = float(np.asarray(I.epsilon(cfg, t_scalar)))
+            s_val = s_net(x, tb, condT) * g_inv
+            v_val = v_net(x, tb, condT)
+            b_val = v_val - (g_der * g * eps_t) * s_val
+            x = x + (b_val + eps_t * s_val) * dt
+            x = x + dt * np.sqrt(2 * eps_t) * cfg.beta_max * \
+                torch.from_numpy(noise_seq[step])
+    out = x.numpy()
+
+    sd_v = {k: p.detach().numpy() for k, p in v_net.state_dict().items()}
+    fp = _fingerprint(sd_v, ["mid_modules.0.blocks.0.block.0.weight",
+                             "final_conv.1.weight"])
+    np.savez_compressed(os.path.join(OUT, "bridge_full.npz"), rollout=out,
+                        torch_seed=TORCH_SEED + 1,
+                        input_seed=INPUT_SEED + 1, **fp)
+    print("bridge_full: rollout", out.shape, float(np.abs(out).max()))
+
+
+# ----------------------------------------------------------------- LSTM ---
+
+def gen_lstm():
+    import torch
+
+    from tests.test_lstm_controller import TorchLSTMController
+    from vla_touch_tpu.config import LSTMControllerConfig
+
+    cfg = LSTMControllerConfig()
+    torch.manual_seed(TORCH_SEED + 2)
+    ref = TorchLSTMController(cfg).eval()
+
+    rng = np.random.default_rng(INPUT_SEED + 2)
+    B, Tn = 2, 16
+    raw_obs = rng.normal(size=(B, cfg.obs_dim)).astype(np.float32)
+    vla = rng.normal(size=(B, Tn, cfg.state_dim)).astype(np.float32)
+    force = rng.normal(size=(B, Tn, cfg.force_dim)).astype(np.float32)
+    with torch.no_grad():
+        obs_enc = ref.obs_encoder(torch.from_numpy(raw_obs))
+        out = ref(obs_enc, torch.from_numpy(vla),
+                  torch.from_numpy(force)).numpy()
+
+    sd = {k: p.detach().numpy() for k, p in ref.state_dict().items()}
+    fp = _fingerprint(sd, ["lstm.weight_ih_l0", "lstm.weight_hh_l1",
+                           "output_head.0.weight"])
+    np.savez_compressed(os.path.join(OUT, "lstm_full.npz"), sequence=out,
+                        torch_seed=TORCH_SEED + 2,
+                        input_seed=INPUT_SEED + 2, **fp)
+    print("lstm_full: sequence", out.shape, float(np.abs(out).max()))
+
+
+if __name__ == "__main__":
+    os.makedirs(OUT, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+    gen_lstm()
+    gen_bridge()
+    gen_rdt()

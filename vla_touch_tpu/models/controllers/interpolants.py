@@ -211,12 +211,17 @@ def si_training_loss(cfg: InterpolantConfig, key, nets: dict, obs_cond,
 
 def sde_sample(cfg: InterpolantConfig, nets: dict, x_prior, cond, key,
                diffuse_steps: int | None = None, score_weight: float = 1.0,
-               record_traj: bool = False):
+               record_traj: bool = False, noise_seq=None):
     """Forward Euler–Maruyama simulation of the bridge SDE, one lax.scan.
 
     ``nets``: ``{"v": fn, "s": fn}`` for sde_type 'vs' or ``{"b": fn,
     "s": fn}`` for 'bs', each (x, t, cond) -> drift term; bind EMA params for
     deployment parity (``bridge_model.py:267``).
+
+    ``noise_seq`` (n_steps,) + x.shape standard normals overrides the
+    key-derived Brownian increments — recorded-noise injection makes the
+    stochastic rollout exactly reproducible for cross-framework golden
+    parity (SURVEY §7 hard part 3).
     """
     n = diffuse_steps or cfg.diffusion_steps
     delta_t = 1.0 / n
@@ -247,7 +252,10 @@ def sde_sample(cfg: InterpolantConfig, nets: dict, x_prior, cond, key,
             raise NotImplementedError(cfg.sde_type)
         eps_t = epsilon(cfg, t_scalar)
         noise_scale = delta_t * jnp.sqrt(2 * eps_t)
-        dw = cfg.beta_max * jax.random.normal(sub, x.shape, jnp.float32)
+        if noise_seq is None:
+            dw = cfg.beta_max * jax.random.normal(sub, x.shape, jnp.float32)
+        else:
+            dw = cfg.beta_max * jnp.asarray(noise_seq, jnp.float32)[step]
         x_new = x + (b_val + score_weight * eps_t * s_val) * delta_t
         x_new = x_new + noise_scale * dw
         return (x_new, k), (x_new if record_traj else None)

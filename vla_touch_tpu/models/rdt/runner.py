@@ -170,12 +170,16 @@ def rdt_compute_loss(cfg: RDTRunnerConfig, params, key, batch):
 def rdt_predict_action(cfg: RDTRunnerConfig, params, key, lang_tokens,
                        lang_mask, img_tokens, state_tokens, action_mask,
                        ctrl_freqs,
-                       num_inference_timesteps: Optional[int] = None):
+                       num_inference_timesteps: Optional[int] = None,
+                       init_noise=None):
     """Full action-chunk inference as one compiled program
     (``rdt_runner.py:225-250`` + ``conditional_sample`` :122-165).
 
     state_tokens (B, 1, 128); action_mask (B, 1, 128) float; returns
-    (B, horizon, 128).
+    (B, horizon, 128).  ``init_noise`` (B, horizon, 128) overrides the
+    key-derived starting noise — the denoise loop is deterministic given it,
+    which is what makes cross-framework <1e-3 golden parity testable
+    (SURVEY §7 hard part 3).
     """
     m = cfg.model
     module = RDTRunnerModule(m)
@@ -209,7 +213,11 @@ def rdt_predict_action(cfg: RDTRunnerConfig, params, key, lang_tokens,
                            method=RDTRunnerModule.forward_cached)
         return out.astype(jnp.float32)
 
-    noisy = jax.random.normal(key, (B, m.horizon, m.output_dim), jnp.float32)
+    if init_noise is None:
+        noisy = jax.random.normal(key, (B, m.horizon, m.output_dim),
+                                  jnp.float32)
+    else:
+        noisy = jnp.asarray(init_noise, jnp.float32)
     action = sched_lib.sample_dpm_solver(
         model_fn, noisy, noise_sched, steps,
         prediction_type=cfg.noise.prediction_type)
