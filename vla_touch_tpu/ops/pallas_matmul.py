@@ -154,7 +154,10 @@ def a8w8_matmul(x, w_i8, scale, bias=None, *, block_n: int = 1152,
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
 
-    bn = min(block_n, N)
+    # Weight blocks are double-buffered in VMEM; cap K*bn so two blocks +
+    # the resident activation/scratch fit (v5e ~16 MiB VMEM).  Without this
+    # the K=8192 fc2 shape fails to compile.
+    bn = min(block_n, N, max(128, _round_up((4 * 1024 * 1024) // K, 128)))
     grid = (_cdiv(N, bn),)
     s2 = scale.reshape(1, N).astype(jnp.float32)
     b2 = (bias.reshape(1, N).astype(jnp.float32) if bias is not None
