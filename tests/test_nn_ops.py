@@ -243,3 +243,36 @@ def test_pallas_attention_matches_xla_interpret(rng):
     with pltpu.force_tpu_interpret_mode():
         got = pa.flash_cross_attention(q, k, v, kv_mask=mask, block_kv=128)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_attention_q8_matches_dequantized_xla(rng):
+    """int8-KV flash kernel (interpret mode) vs the einsum path on the
+    DEQUANTIZED cache: identical math, so agreement is tight; vs the f32
+    cache the only error is int8 rounding."""
+    from vla_touch_tpu.ops import pallas_attention as pa
+    from vla_touch_tpu.ops.attention import _attention_xla
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Lq, Lkv, H, D = 1, 35, 300, 4, 64
+    q = jnp.asarray(rng.normal(size=(B, Lq, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Lkv, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Lkv, H, D)), jnp.float32)
+    mask = np.ones((B, Lkv), bool)
+    mask[0, 250:] = False
+    mask = jnp.asarray(mask)
+
+    k_i8, sk, v_i8, sv = pa.quantize_kv(k, v)
+    assert k_i8.dtype == jnp.int8 and sk.shape == (B, H, D)
+    k_dq = k_i8.astype(jnp.float32) * sk[:, None]
+    v_dq = v_i8.astype(jnp.float32) * sv[:, None]
+    ref_dq = _attention_xla(q, k_dq, v_dq, kv_mask=mask)
+    ref_f32 = _attention_xla(q, k, v, kv_mask=mask)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = pa.flash_cross_attention_q8(q, k_i8, sk, v_i8, sv,
+                                          kv_mask=mask, block_kv=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_dq),
+                               atol=5e-3)
+    # int8 rounding error vs the unquantized cache stays small
+    err = np.abs(np.asarray(got) - np.asarray(ref_f32)).max()
+    assert err < 0.05, err

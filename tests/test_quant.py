@@ -106,3 +106,82 @@ def test_kv_projections_stay_bf16(rng):
     v_f32 = kv_f32.reshape(B, 5, 2, m.num_heads, hd)[:, :, 1]
     np.testing.assert_allclose(np.asarray(got[0][1], np.float32), v_f32,
                                rtol=2e-2, atol=2e-2)
+
+
+def test_quantized_predict_int8_kv_cache(rng):
+    """kv_cache='int8' (Pallas flash over the quantized cache) stays close
+    to the bf16-cache quant path: the only new error is KV int8 rounding."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    params = R.init_rdt(RCFG, jax.random.PRNGKey(0))
+    params["model"]["final_ffn"]["fc2"] = {
+        "kernel": jnp.asarray(rng.normal(
+            size=params["model"]["final_ffn"]["fc2"]["kernel"].shape) * 0.05,
+            jnp.float32),
+        "bias": params["model"]["final_ffn"]["fc2"]["bias"],
+    }
+    qparams = Q.quantize_rdt_params(params)
+
+    m = TINY
+    B, Ll = 1, 7
+    lang = jnp.asarray(rng.normal(size=(B, Ll, m.lang_token_dim)), jnp.float32)
+    lang_mask = jnp.ones((B, Ll), bool)
+    img = jnp.asarray(rng.normal(size=(B, m.img_cond_len, m.img_token_dim)),
+                      jnp.float32)
+    state = jnp.asarray(rng.normal(size=(B, 1, m.state_token_dim)), jnp.float32)
+    amask = jnp.ones((B, 1, m.output_dim), jnp.float32)
+    freqs = jnp.asarray([10.0])
+
+    ref = Q.rdt_predict_action_quant(RCFG, qparams, jax.random.PRNGKey(1),
+                                     lang, lang_mask, img, state, amask,
+                                     freqs)
+    with pltpu.force_tpu_interpret_mode():
+        got = Q.rdt_predict_action_quant(RCFG, qparams, jax.random.PRNGKey(1),
+                                         lang, lang_mask, img, state, amask,
+                                         freqs, kv_cache="int8")
+    ref_n, got_n = np.asarray(ref), np.asarray(got)
+    rel = np.abs(got_n - ref_n).max() / max(np.abs(ref_n).max(), 1e-6)
+    assert rel < 0.1, rel
+    corr = np.corrcoef(ref_n.ravel(), got_n.ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_quantized_predict_pallas_matmul(rng):
+    """matmul='pallas' (fused a8w8 kernel) is numerically identical to the
+    XLA int8 path — same quantization scheme, same integers."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vla_touch_tpu.config import rdt_tiny as _tiny
+
+    # all matmul dims must be multiples of 128 for the kernel
+    m = _tiny(hidden_size=128, lang_token_dim=128, img_token_dim=128,
+              img_cond_len=16)
+    rcfg = R.RDTRunnerConfig(model=m, noise=NoiseSchedulerConfig(
+        num_inference_timesteps=2))
+    params = R.init_rdt(rcfg, jax.random.PRNGKey(0))
+    params["model"]["final_ffn"]["fc2"] = {
+        "kernel": jnp.asarray(rng.normal(
+            size=params["model"]["final_ffn"]["fc2"]["kernel"].shape) * 0.05,
+            jnp.float32),
+        "bias": params["model"]["final_ffn"]["fc2"]["bias"],
+    }
+    qparams = Q.quantize_rdt_params(params)
+
+    B, Ll = 1, 5
+    lang = jnp.asarray(rng.normal(size=(B, Ll, m.lang_token_dim)), jnp.float32)
+    lang_mask = jnp.ones((B, Ll), bool)
+    img = jnp.asarray(rng.normal(size=(B, m.img_cond_len, m.img_token_dim)),
+                      jnp.float32)
+    state = jnp.asarray(rng.normal(size=(B, 1, m.state_token_dim)), jnp.float32)
+    amask = jnp.ones((B, 1, m.output_dim), jnp.float32)
+    freqs = jnp.asarray([10.0])
+
+    ref = Q.rdt_predict_action_quant(rcfg, qparams, jax.random.PRNGKey(1),
+                                     lang, lang_mask, img, state, amask,
+                                     freqs)
+    with pltpu.force_tpu_interpret_mode():
+        got = Q.rdt_predict_action_quant(rcfg, qparams, jax.random.PRNGKey(1),
+                                         lang, lang_mask, img, state, amask,
+                                         freqs, matmul="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)

@@ -24,6 +24,8 @@ from vla_touch_tpu.config import RDTModelConfig
 from vla_touch_tpu.models.rdt import runner as R
 from vla_touch_tpu.ops import schedulers as sched_lib
 from vla_touch_tpu.ops.attention import dot_product_attention
+from vla_touch_tpu.ops.pallas_attention import (flash_cross_attention_q8,
+                                                quantize_kv)
 from vla_touch_tpu.ops.pos_embed import timestep_embedding
 from vla_touch_tpu.ops.quant import qdense, quantize_linear, quantize_tree
 
@@ -78,45 +80,66 @@ def _timestep_embed(p, t, hidden):
     return x.astype(jnp.bfloat16)
 
 
-def _mlp_tanh_gelu(p, x):
-    h = qdense(x, p["fc1"])
+def _mlp_tanh_gelu(p, x, qd=qdense):
+    h = qd(x, p["fc1"])
     h = jax.nn.gelu(h, approximate=True)
-    return qdense(h, p["fc2"])
+    return qd(h, p["fc2"])
 
 
-def _self_attn(p, x, num_heads):
+def _self_attn(p, x, num_heads, qd=qdense):
     B, N, C = x.shape
     hd = C // num_heads
-    qkv = qdense(x, p["qkv"]).reshape(B, N, 3, num_heads, hd)
+    qkv = qd(x, p["qkv"]).reshape(B, N, 3, num_heads, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     q = _rmsnorm(q, p["q_norm"]["weight"])
     k = _rmsnorm(k, p["k_norm"]["weight"])
     out = dot_product_attention(q, k, v).reshape(B, N, C)
-    return qdense(out, p["proj"])
+    return qd(out, p["proj"])
 
 
-def _cross_attn_cached(p, x, k, v, mask, num_heads):
+def _cross_attn_cached(p, x, kv, mask, num_heads, qd=qdense):
     B, N, C = x.shape
     hd = C // num_heads
-    q = qdense(x, p["q"]).reshape(B, N, num_heads, hd)
+    q = qd(x, p["q"]).reshape(B, N, num_heads, hd)
     q = _rmsnorm(q, p["q_norm"]["weight"])
-    out = dot_product_attention(q, k, v, kv_mask=mask).reshape(B, N, C)
-    return qdense(out, p["proj"])
+    if len(kv) == 4:
+        # int8 KV cache: per-step reads halve through the Pallas flash
+        # kernel (the B=1 denoise step is HBM-bound on these reads).
+        k_i8, sk, v_i8, sv = kv
+        out = flash_cross_attention_q8(q, k_i8, sk, v_i8, sv, kv_mask=mask)
+    else:
+        k, v = kv
+        out = dot_product_attention(q, k, v, kv_mask=mask)
+    return qd(out.reshape(B, N, C), p["proj"])
 
 
-def _adaptor(p, x):
+def _adaptor(p, x, qd=qdense):
     """mlp{N}x_gelu / linear condition adaptor."""
     n = len(p)
     for i in range(n):
         if i > 0:
             x = jax.nn.gelu(x, approximate=True)
-        x = qdense(x, p[f"fc{i}"])
+        x = qd(x, p[f"fc{i}"])
     return x
 
 
-def compute_cond_kv_quant(mp: dict, cfg: RDTModelConfig, lang_c, img_c):
+def _qdense_impl(matmul: str):
+    if matmul == "pallas":
+        from vla_touch_tpu.ops.pallas_matmul import qdense_pallas_a8w8
+
+        return qdense_pallas_a8w8
+    return qdense
+
+
+def compute_cond_kv_quant(mp: dict, cfg: RDTModelConfig, lang_c, img_c,
+                          kv_cache: str = "bf16"):
     """Per-block cached K/V.  The kv projections are bf16 (see
-    :func:`quantize_rdt_params`); everything else in this path is int8."""
+    :func:`quantize_rdt_params`); everything else in this path is int8.
+
+    ``kv_cache='int8'`` additionally stores the cache itself int8 with
+    per-(head, channel) scales — halving both the one-time cache write
+    (~0.5 GB at the 1B config) and the per-denoise-step reads, served by the
+    int8-KV Pallas flash kernel."""
     dtype = jnp.bfloat16
     lang_c = lang_c.astype(dtype) + jnp.asarray(
         mp["lang_cond_pos_embed"][:, : lang_c.shape[1]], dtype)
@@ -137,12 +160,15 @@ def compute_cond_kv_quant(mp: dict, cfg: RDTModelConfig, lang_c, img_c):
                   + ca["kv"]["bias"]).astype(dtype)
         kv = kv.reshape(B, L, 2, cfg.num_heads, hd)
         k = _rmsnorm(kv[:, :, 0], ca["k_norm"]["weight"])
-        out.append((k, kv[:, :, 1]))
+        if kv_cache == "int8":
+            out.append(quantize_kv(k, kv[:, :, 1]))
+        else:
+            out.append((k, kv[:, :, 1]))
     return out
 
 
 def forward_cached_quant(mp: dict, cfg: RDTModelConfig, x, freq, t, cond_kv,
-                         lang_mask=None):
+                         lang_mask=None, qd=qdense):
     dtype = jnp.bfloat16
     t_tok = _timestep_embed(mp["t_embedder"], t, cfg.hidden_size)
     f_tok = _timestep_embed(mp["freq_embedder"], freq, cfg.hidden_size)
@@ -151,25 +177,35 @@ def forward_cached_quant(mp: dict, cfg: RDTModelConfig, x, freq, t, cond_kv,
     masks = (lang_mask, None)
     for i in range(cfg.depth):
         bp = mp[f"block{i}"]
-        k, v = cond_kv[i]
         x = x + _self_attn(bp["attn"], _rmsnorm(x, bp["norm1"]["weight"]),
-                           cfg.num_heads)
+                           cfg.num_heads, qd=qd)
         x = x + _cross_attn_cached(bp["cross_attn"],
                                    _rmsnorm(x, bp["norm2"]["weight"]),
-                                   k, v, masks[i % 2], cfg.num_heads)
-        x = x + _mlp_tanh_gelu(bp["ffn"], _rmsnorm(x, bp["norm3"]["weight"]))
-    out = _mlp_tanh_gelu(mp["final_ffn"], _rmsnorm(x, mp["final_norm"]["weight"]))
+                                   cond_kv[i], masks[i % 2], cfg.num_heads,
+                                   qd=qd)
+        x = x + _mlp_tanh_gelu(bp["ffn"], _rmsnorm(x, bp["norm3"]["weight"]),
+                               qd=qd)
+    out = _mlp_tanh_gelu(mp["final_ffn"],
+                         _rmsnorm(x, mp["final_norm"]["weight"]), qd=qd)
     return out[:, -cfg.horizon:]
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_inference_timesteps"))
+@partial(jax.jit, static_argnames=("cfg", "num_inference_timesteps",
+                                   "kv_cache", "matmul"))
 def rdt_predict_action_quant(cfg: R.RDTRunnerConfig, qparams, key,
                              lang_tokens, lang_mask, img_tokens, state_tokens,
                              action_mask, ctrl_freqs,
-                             num_inference_timesteps: Optional[int] = None):
+                             num_inference_timesteps: Optional[int] = None,
+                             kv_cache: str = "bf16", matmul: str = "xla"):
     """Int8 serving twin of :func:`rdt_predict_action` (same signature with a
-    quantized parameter tree from :func:`quantize_rdt_params`)."""
+    quantized parameter tree from :func:`quantize_rdt_params`).
+
+    ``kv_cache='int8'`` also quantizes the per-block condition KV cache and
+    serves cross-attention through the int8-KV Pallas flash kernel;
+    ``matmul='pallas'`` runs every quantized matmul through the fused a8w8
+    Pallas kernel instead of XLA's int8 lowering."""
     m = cfg.model
+    qd = _qdense_impl(matmul)
     steps = num_inference_timesteps or cfg.noise.num_inference_timesteps
     noise_sched = sched_lib.DiffusionSchedule.create(
         cfg.noise.num_train_timesteps, cfg.noise.beta_schedule)
@@ -177,11 +213,11 @@ def rdt_predict_action_quant(cfg: R.RDTRunnerConfig, qparams, key,
 
     state_in = jnp.concatenate(
         [state_tokens, action_mask.astype(state_tokens.dtype)], axis=2)
-    lang_c = _adaptor(qparams["lang_adaptor"], lang_tokens)
-    img_c = _adaptor(qparams["img_adaptor"], img_tokens)
-    state_traj = _adaptor(qparams["state_adaptor"], state_in)
+    lang_c = _adaptor(qparams["lang_adaptor"], lang_tokens, qd=qd)
+    img_c = _adaptor(qparams["img_adaptor"], img_tokens, qd=qd)
+    state_traj = _adaptor(qparams["state_adaptor"], state_in, qd=qd)
     mp = qparams["model"]
-    cond_kv = compute_cond_kv_quant(mp, m, lang_c, img_c)
+    cond_kv = compute_cond_kv_quant(mp, m, lang_c, img_c, kv_cache=kv_cache)
 
     mask_h = jnp.broadcast_to(action_mask.astype(jnp.float32),
                               (B, m.horizon, m.output_dim))
@@ -189,10 +225,10 @@ def rdt_predict_action_quant(cfg: R.RDTRunnerConfig, qparams, key,
     def model_fn(noisy_action, t):
         action_in = jnp.concatenate([noisy_action, mask_h], axis=2)
         action_traj = _adaptor(qparams["state_adaptor"],
-                               action_in.astype(jnp.bfloat16))
+                               action_in.astype(jnp.bfloat16), qd=qd)
         x = jnp.concatenate([state_traj, action_traj], axis=1)
         out = forward_cached_quant(mp, m, x, ctrl_freqs, t, cond_kv,
-                                   lang_mask)
+                                   lang_mask, qd=qd)
         return out.astype(jnp.float32)
 
     noisy = jax.random.normal(key, (B, m.horizon, m.output_dim), jnp.float32)

@@ -153,3 +153,153 @@ def flash_cross_attention(q, k, v, kv_mask=None, scale=None, block_kv: int = 512
 
     out = out.reshape(B, H, lq_pad, d_pad)[:, :, :Lq, :D]
     return jnp.swapaxes(out, 1, 2)
+
+
+# ---- int8-KV flash attention ------------------------------------------------
+#
+# At B=1 serving the RDT cross-attention is HBM-bound on the cached KV
+# reads (img condition: 28/2 blocks x 2 x 4374 x 2048 bf16 ≈ 0.5 GB per
+# denoise step).  Storing the cache int8 halves those bytes.  The per-
+# channel scales fold OUTSIDE the inner loop:
+#
+#   QK^T:  q · diag(sk) · k_i8^T  =  (q*sk) · k_i8^T   (fold into q once)
+#   AV:    p · (v_i8*sv)          =  (p · v_i8) * sv   (fold into finalize)
+#
+# so the streamed tiles are pure int8, converted to bf16 in VMEM for the
+# MXU (int8 values are exact in bf16; no extra quantization error beyond
+# the int8 rounding itself).
+
+
+def _flash_kernel_q8(q_ref, k_ref, v_ref, mask_ref, vs_ref, o_ref,
+                     m_scr, l_scr, acc_scr, *, num_kv_blocks: int):
+    kv_idx = pl.program_id(1)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                                # (Lq, D) bf16, pre-scaled
+    k = k_ref[0].astype(jnp.bfloat16)           # (BK, D) int8 -> bf16
+    v = v_ref[0].astype(jnp.bfloat16)           # (BK, D) int8 -> bf16
+    valid = mask_ref[0, 0:1, :]                 # (1, BK) int32
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = jnp.where(valid > 0, s, _NEG_INF)
+
+    m_prev = m_scr[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.where(valid > 0, jnp.exp(s - m_new), 0.0)
+    alpha = jnp.exp(m_prev - m_new)
+
+    l_scr[:, 0:1] = alpha * l_scr[:, 0:1] + jnp.sum(p, axis=-1,
+                                                    keepdims=True)
+    acc_scr[:] = alpha * acc_scr[:] + jax.lax.dot_general(
+        p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[:, 0:1] = m_new
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _finalize():
+        denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
+        # v per-channel dequant scale, folded once after the KV loop.
+        o_ref[0] = (acc_scr[:] / denom * vs_ref[0, 0:1, :]).astype(
+            o_ref.dtype)
+
+
+def quantize_kv(k, v):
+    """(B, L, H, D) bf16/f32 K and V -> int8 + per-(B, H, D) channel scales
+    (amax over the KV-length axis)."""
+    def q(x):
+        xf = jnp.asarray(x, jnp.float32)
+        amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-8)
+        xi = jnp.clip(jnp.round(xf * (127.0 / amax)), -127, 127)
+        return xi.astype(jnp.int8), (amax[:, 0] / 127.0)   # (B, H, D)
+
+    k_i8, sk = q(k)
+    v_i8, sv = q(v)
+    return k_i8, sk, v_i8, sv
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "block_kv", "interpret"))
+def flash_cross_attention_q8(q, k_i8, k_scale, v_i8, v_scale, kv_mask=None,
+                             scale=None, block_kv: int = 512,
+                             interpret: bool = False):
+    """Flash attention over an int8-quantized KV cache.
+
+    q (B, Lq, H, D) float; k_i8/v_i8 (B, Lkv, H, D) int8 with per-channel
+    scales (B, H, D) from :func:`quantize_kv`.  Matches
+    :func:`flash_cross_attention` on dequantized inputs up to int8 rounding.
+    """
+    B, Lq, H, D = q.shape
+    Lkv = k_i8.shape[1]
+    if scale is None:
+        scale = D ** -0.5
+
+    lq_pad = _round_up(max(Lq, 8), 8)
+    d_pad = _round_up(D, 128)
+    kv_pad = _round_up(Lkv, block_kv)
+
+    # Fold the softmax scale AND K's dequant scale into q (f32, then bf16).
+    qs = (q.astype(jnp.float32) * float(scale)
+          * k_scale[:, None].astype(jnp.float32))       # (B, Lq, H, D)
+
+    def to_bhld(x, l_target, pad_d=True):
+        x = jnp.pad(x, ((0, 0), (0, l_target - x.shape[1]), (0, 0),
+                        (0, (d_pad - D) if pad_d else 0)))
+        x = jnp.swapaxes(x, 1, 2)
+        return x.reshape(B * H, l_target, x.shape[-1])
+
+    qp = to_bhld(qs.astype(jnp.bfloat16), lq_pad)
+    kp = to_bhld(k_i8, kv_pad)
+    vp = to_bhld(v_i8, kv_pad)
+    vs = jnp.pad(v_scale.astype(jnp.float32),
+                 ((0, 0), (0, 0), (0, d_pad - D))).reshape(B * H, 1, d_pad)
+    # Tile-align the scale rows (8 sublanes).
+    vs = jnp.broadcast_to(vs, (B * H, 8, d_pad))
+
+    if kv_mask is None:
+        valid = jnp.broadcast_to((jnp.arange(kv_pad) < Lkv)[None, :],
+                                 (B, kv_pad))
+    else:
+        valid = jnp.pad(kv_mask.astype(bool), ((0, 0), (0, kv_pad - Lkv)))
+    valid = jnp.broadcast_to(valid.astype(jnp.int32)[:, None, :],
+                             (B, 8, kv_pad))
+
+    num_kv_blocks = kv_pad // block_kv
+    grid = (B * H, num_kv_blocks)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_q8, num_kv_blocks=num_kv_blocks),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, lq_pad, d_pad), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d_pad), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d_pad), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_kv), lambda bh, i: (bh // H, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, d_pad), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, lq_pad, d_pad), lambda bh, i: (bh, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, lq_pad, d_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((lq_pad, 128), jnp.float32),
+            pltpu.VMEM((lq_pad, 128), jnp.float32),
+            pltpu.VMEM((lq_pad, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, valid, vs)
+
+    out = out.reshape(B, H, lq_pad, d_pad)[:, :, :Lq, :D]
+    return jnp.swapaxes(out, 1, 2)
