@@ -82,3 +82,85 @@ def test_rdt_training_loop_with_resume(dataset_dir, tmp_path):
     cks = list_checkpoints(out)
     assert len(cks) <= 2
     assert cks[-1][0] == 6
+
+
+def test_cli_flag_surface_matches_reference():
+    """Every flag the reference CLI exposes (main.py:8-294) parses here —
+    either wired to the TPU config tree or accepted for script compat."""
+    import argparse
+
+    from vla_touch_tpu.train import rdt_loop as RL
+
+    reference_flags = [
+        "--adam_beta1", "--adam_beta2", "--adam_epsilon",
+        "--adam_weight_decay", "--allow_tf32", "--alpha",
+        "--cam_ext_mask_prob", "--checkpointing_period",
+        "--checkpoints_total_limit", "--cond_mask_prob", "--config_path",
+        "--dataloader_num_workers", "--deepspeed",
+        "--gradient_accumulation_steps", "--gradient_checkpointing",
+        "--hub_model_id", "--hub_token", "--image_aug", "--learning_rate",
+        "--load_from_hdf5", "--local_rank", "--logging_dir",
+        "--lr_num_cycles", "--lr_power", "--lr_scheduler",
+        "--lr_warmup_steps", "--max_grad_norm", "--max_train_steps",
+        "--mixed_precision", "--num_sample_batches", "--num_train_epochs",
+        "--output_dir", "--precomp_lang_embed",
+        "--pretrained_model_name_or_path",
+        "--pretrained_text_encoder_name_or_path",
+        "--pretrained_vision_encoder_name_or_path", "--push_to_hub",
+        "--report_to", "--resume_from_checkpoint", "--sample_batch_size",
+        "--sample_period", "--scale_lr", "--seed", "--set_grads_to_none",
+        "--state_noise_snr", "--train_batch_size", "--use_8bit_adam",
+    ]
+    # Build the parser exactly as main() does, without running training.
+    import unittest.mock as mock
+
+    captured = {}
+    real_parse = argparse.ArgumentParser.parse_args
+
+    def fake_parse(self, argv=None):
+        captured["parser"] = self
+        raise SystemExit(0)
+
+    with mock.patch.object(argparse.ArgumentParser, "parse_args",
+                           fake_parse):
+        try:
+            RL.main([])
+        except SystemExit:
+            pass
+    parser = captured["parser"]
+    known = set()
+    for action in parser._actions:
+        known.update(action.option_strings)
+    missing = [f for f in reference_flags if f not in known]
+    assert not missing, missing
+
+
+def test_cli_wiring_scale_lr_and_sched(tmp_path, monkeypatch):
+    """Wired flags land in the config tree (spot checks via a stubbed
+    trainer)."""
+    from vla_touch_tpu.train import rdt_loop as RL
+
+    seen = {}
+
+    class FakeTrainer:
+        def __init__(self, rcfg, tcfg, dcfg, out):
+            seen.update(rcfg=rcfg, tcfg=tcfg, dcfg=dcfg)
+
+        def train(self, **kw):
+            seen["train_kw"] = kw
+
+    monkeypatch.setattr(RL, "RDTTrainer", FakeTrainer)
+    RL.main(["--model_scale", "tiny", "--train_batch_size", "2",
+             "--gradient_accumulation_steps", "3", "--scale_lr",
+             "--learning_rate", "1e-4", "--lr_scheduler", "cosine",
+             "--adam_weight_decay", "0.05", "--cam_ext_mask_prob", "0.3",
+             "--dataloader_num_workers", "4", "--use_8bit_adam",
+             "--output_dir", str(tmp_path), "--deepspeed", "z2.json",
+             "--allow_tf32", "--local_rank", "0"])
+    tcfg, dcfg = seen["tcfg"], seen["dcfg"]
+    assert tcfg.batch_size == 2 and tcfg.grad_accum == 3
+    assert tcfg.learning_rate == pytest.approx(1e-4 * 2 * 3)
+    assert tcfg.lr_scheduler == "cosine"
+    assert tcfg.weight_decay == 0.05
+    assert tcfg.use_8bit_adam and tcfg.prefetch_workers == 4
+    assert dcfg.cam_ext_mask_prob == 0.3

@@ -164,6 +164,8 @@ class DataConfig:
     image_size: int = 384
     state_dim: int = 10
     cond_mask_prob: float = 0.1
+    cam_ext_mask_prob: float = -1.0  # >=0 overrides cond_mask_prob for the
+    #                                  exterior camera (main.py flag)
     state_noise_snr: Optional[float] = None
     image_aug: bool = False
     control_freq: int = 10           # Franka (agilex = 25)
@@ -193,6 +195,7 @@ class TrainConfig:
     ema_power: float = 0.75
     seed: int = 42
     dp_axis: str = "data"
+    prefetch_workers: int = 2        # ≙ --dataloader_num_workers
 
 
 @dataclasses.dataclass(frozen=True)

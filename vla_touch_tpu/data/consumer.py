@@ -188,11 +188,16 @@ class VLAConsumerDataset:
         metas = [(res["cam_high"], res["cam_high_mask"]),
                  (res["cam_right_wrist"], res["cam_right_wrist_mask"]),
                  (res["cam_left_wrist"], res["cam_left_wrist_mask"])]
+        # Per-camera mask probability; the exterior camera (index 0) can be
+        # masked more/less aggressively (dataset.py:357-360).
+        cam_probs = [p] * len(metas)
+        if cfg.cam_ext_mask_prob >= 0.0:
+            cam_probs[0] = cfg.cam_ext_mask_prob
         frames, masks = [], []
         for i in range(cfg.img_history_size):
-            for imgs, valid in metas:
+            for j, (imgs, valid) in enumerate(metas):
                 ok = (bool(valid[i]) and np.prod(imgs[i].shape) > 0
-                      and rng.random() > p)
+                      and rng.random() > cam_probs[j])
                 if not ok:
                     frames.append(self._background())
                     masks.append(False)

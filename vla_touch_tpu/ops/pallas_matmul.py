@@ -192,6 +192,20 @@ def a8w8_matmul(x, w_i8, scale, bias=None, *, block_n: int = 1152,
 
 def qdense_pallas_a8w8(x, qp: dict, out_dtype=jnp.bfloat16, interpret=False):
     """a8w8 drop-in for :func:`vla_touch_tpu.ops.quant.qdense` (same scheme,
-    one fused kernel)."""
+    one fused kernel).
+
+    The kernel keeps the whole (Mp, K) activation + int8 scratch resident in
+    VMEM — correct for the B=1 serving regime it targets (M ≲ 100 tokens)
+    but a VMEM blowup for the long-condition precompute matmuls (the
+    4374-token image adaptor).  Large-M calls fall back to the XLA int8
+    path, which is compute-bound there anyway.
+    """
+    M = 1
+    for d in x.shape[:-1]:
+        M *= d
+    if M > 512:
+        from vla_touch_tpu.ops.quant import qdense
+
+        return qdense(x, qp, out_dtype=out_dtype)
     return a8w8_matmul(x, qp["w_i8"], qp["scale"], qp.get("bias"),
                        out_dtype=out_dtype, interpret=interpret)

@@ -134,7 +134,8 @@ class RDTTrainer:
 
     def train(self, file_paths=None, max_steps: Optional[int] = None,
               resume_from: Optional[str] = "latest", mesh=None,
-              vision_params=None, seed: Optional[int] = None):
+              vision_params=None, seed: Optional[int] = None,
+              init_params=None):
         tcfg, rcfg, dcfg = self.tcfg, self.rcfg, self.dcfg
         seed = tcfg.seed if seed is None else seed
         key = jax.random.PRNGKey(seed)
@@ -160,6 +161,12 @@ class RDTTrainer:
                 k_vis, dummy)["params"]
 
         state = T.init_train_state(rcfg, tcfg, k_init)
+        if init_params is not None:
+            # Warm-start from a ported reference checkpoint
+            # (--pretrained_model_name_or_path); EMA shadow starts there too.
+            state = dataclasses.replace(
+                state, params=init_params,
+                ema=dataclasses.replace(state.ema, shadow=init_params))
         start_step = 0
         if resume_from == "latest":
             latest = ckpt.latest_checkpoint(self.output_dir)
@@ -188,7 +195,8 @@ class RDTTrainer:
             samples = [dataset.sample() for _ in range(micro * accum)]
             return collate(samples, max_lang_len=rcfg.model.max_lang_cond_len)
 
-        loader = PrefetchLoader(make_batch, depth=2, workers=2,
+        loader = PrefetchLoader(make_batch, depth=2,
+                                workers=tcfg.prefetch_workers,
                                 num_batches=max_steps - start_step)
         try:
             state = self._train_loop(loader, state, step_fn, vision_params,
@@ -286,29 +294,94 @@ class RDTTrainer:
 def main(argv=None):
     import argparse
 
-    p = argparse.ArgumentParser(description="Finetune RDT (data-parallel)")
+    p = argparse.ArgumentParser(
+        description="Finetune RDT (data-parallel); flag surface mirrors the "
+                    "reference CLI (/root/reference/VLA/main.py:8-294)")
+    # --- multi-host (≙ DeepSpeed hostfile + NCCL env, finetune.sh:1-7,31) --
     p.add_argument("--coordinator", default=None,
                    help="host:port of process 0 for multi-host training "
-                        "(auto-detected on TPU pods; ≙ DeepSpeed hostfile, "
-                        "finetune.sh:31)")
+                        "(auto-detected on TPU pods)")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    # --- data ---------------------------------------------------------------
     p.add_argument("--data_root", default="data/datasets")
     p.add_argument("--dataset_name", default="mango")
     p.add_argument("--output_dir", default="checkpoints/rdt")
-    p.add_argument("--batch_size", type=int, default=4)
-    p.add_argument("--grad_accum", type=int, default=4)
-    p.add_argument("--max_train_steps", type=int, default=40000)
-    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--load_from_hdf5", action="store_true",
+                   help="accepted for script compat; episode h5 is already "
+                        "the native path here")
     p.add_argument("--cond_mask_prob", type=float, default=0.1)
+    p.add_argument("--cam_ext_mask_prob", type=float, default=-1.0)
     p.add_argument("--state_noise_snr", type=float, default=None)
     p.add_argument("--image_aug", action="store_true")
+    p.add_argument("--precomp_lang_embed", action="store_true",
+                   help="accepted for compat; precomputed T5 embeddings are "
+                        "the only training-time language path (main.py:163)")
+    p.add_argument("--dataloader_num_workers", type=int, default=2,
+                   help="host-side prefetch threads")
+    # --- optimization -------------------------------------------------------
+    p.add_argument("--batch_size", "--train_batch_size", dest="batch_size",
+                   type=int, default=4)
+    p.add_argument("--sample_batch_size", type=int, default=None,
+                   help="accepted for compat (sampling eval reuses the "
+                        "train batch)")
+    p.add_argument("--grad_accum", "--gradient_accumulation_steps",
+                   dest="grad_accum", type=int, default=4)
+    p.add_argument("--max_train_steps", type=int, default=40000)
+    p.add_argument("--num_train_epochs", type=int, default=None,
+                   help="alternative cap: steps = epochs x (episodes/batch)")
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--scale_lr", action="store_true",
+                   help="scale lr by global batch (x processes, "
+                        "train.py:211-214)")
+    p.add_argument("--lr_scheduler", default="constant",
+                   choices=["constant", "linear", "cosine",
+                            "constant_with_warmup"])
+    p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--lr_num_cycles", type=int, default=1)
+    p.add_argument("--lr_power", type=float, default=1.0)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.95)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-3)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--use_8bit_adam", action="store_true")
+    p.add_argument("--alpha", type=float, default=None,
+                   help="accepted for compat (reference aux-loss weight, "
+                        "unused in its shipped path)")
+    p.add_argument("--seed", type=int, default=42)
+    # --- checkpoint / eval --------------------------------------------------
+    p.add_argument("--checkpointing_period", type=int, default=1000)
+    p.add_argument("--checkpoints_total_limit", type=int, default=40)
+    p.add_argument("--sample_period", type=int, default=100)
+    p.add_argument("--num_sample_batches", type=int, default=2)
+    p.add_argument("--resume_from_checkpoint", default="latest")
+    # --- model / towers ------------------------------------------------------
     p.add_argument("--model_scale", choices=["1b", "170m", "tiny"],
                    default="1b")
-    p.add_argument("--resume_from_checkpoint", default="latest")
-    p.add_argument("--siglip_checkpoint", default=None,
+    p.add_argument("--pretrained_model_name_or_path", default=None,
+                   help="reference-layout RDT checkpoint (.safetensors/.bin) "
+                        "to initialize from")
+    p.add_argument("--siglip_checkpoint",
+                   "--pretrained_vision_encoder_name_or_path",
+                   dest="siglip_checkpoint", default=None,
                    help="HF SiglipVisionModel weights (.safetensors or "
                         "torch .bin) for the frozen image tower")
+    p.add_argument("--pretrained_text_encoder_name_or_path", default=None,
+                   help="accepted for compat; language embeds are "
+                        "precomputed (encode_lang tools)")
+    # --- accepted no-ops (GPU/accelerate specifics; logged, not errors) -----
+    for flag in ("--config_path", "--deepspeed", "--report_to",
+                 "--logging_dir", "--mixed_precision", "--hub_model_id",
+                 "--hub_token"):
+        p.add_argument(flag, default=None, help="accepted for script "
+                       "compat; no TPU equivalent needed")
+    for flag in ("--allow_tf32", "--gradient_checkpointing",
+                 "--set_grads_to_none", "--push_to_hub"):
+        p.add_argument(flag, action="store_true", help="accepted for "
+                       "script compat; no TPU equivalent needed")
+    p.add_argument("--local_rank", type=int, default=-1,
+                   help="accepted for compat (torch.distributed launcher)")
     args = p.parse_args(argv)
 
     from vla_touch_tpu.config import (NoiseSchedulerConfig, rdt_1b, rdt_170m,
@@ -329,17 +402,35 @@ def main(argv=None):
     model_cfg = {"1b": rdt_1b, "170m": rdt_170m, "tiny": rdt_tiny}[
         args.model_scale]()
     rcfg = R.RDTRunnerConfig(model=model_cfg, noise=NoiseSchedulerConfig())
-    tcfg = TrainConfig(batch_size=args.batch_size, grad_accum=args.grad_accum,
-                       max_train_steps=args.max_train_steps,
-                       learning_rate=args.learning_rate)
+    lr = args.learning_rate
+    if args.scale_lr:
+        lr *= args.batch_size * args.grad_accum * jax.process_count()
+    tcfg = TrainConfig(
+        batch_size=args.batch_size, grad_accum=args.grad_accum,
+        max_train_steps=args.max_train_steps, learning_rate=lr,
+        lr_scheduler=args.lr_scheduler, lr_warmup_steps=args.lr_warmup_steps,
+        weight_decay=args.adam_weight_decay, adam_beta1=args.adam_beta1,
+        adam_beta2=args.adam_beta2, adam_epsilon=args.adam_epsilon,
+        max_grad_norm=args.max_grad_norm, use_8bit_adam=args.use_8bit_adam,
+        checkpointing_period=args.checkpointing_period,
+        checkpoints_total_limit=args.checkpoints_total_limit,
+        sample_period=args.sample_period, seed=args.seed,
+        prefetch_workers=args.dataloader_num_workers)
     dcfg = DataConfig(data_root=args.data_root,
                       dataset_names=(args.dataset_name,),
                       cond_mask_prob=args.cond_mask_prob,
+                      cam_ext_mask_prob=args.cam_ext_mask_prob,
                       state_noise_snr=args.state_noise_snr,
                       image_aug=args.image_aug,
                       chunk_size=model_cfg.horizon)
     logging.basicConfig(level=logging.INFO)
     trainer = RDTTrainer(rcfg, tcfg, dcfg, args.output_dir)
+    init_params = None
+    if args.pretrained_model_name_or_path:
+        from vla_touch_tpu.utils.torch_port import load_rdt_checkpoint
+
+        init_params = load_rdt_checkpoint(args.pretrained_model_name_or_path,
+                                          depth=model_cfg.depth)
     vision_params = None
     if args.siglip_checkpoint:
         from vla_touch_tpu.utils.torch_port import siglip_from_hf
@@ -356,7 +447,7 @@ def main(argv=None):
                 weights_only=True).items()}
         vision_params = siglip_from_hf(sd, num_layers=SIGLIP_SO400M.num_layers)
     trainer.train(resume_from=args.resume_from_checkpoint,
-                  vision_params=vision_params)
+                  vision_params=vision_params, init_params=init_params)
 
 
 if __name__ == "__main__":

@@ -45,6 +45,23 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
              optax.schedules.constant_schedule(cfg.learning_rate)],
             [cfg.lr_warmup_steps],
         )
+    elif cfg.lr_scheduler == "constant_with_warmup":
+        # alias of "constant" above (both warm up; diffusers names differ)
+        lr = optax.schedules.join_schedules(
+            [optax.schedules.linear_schedule(0.0, cfg.learning_rate,
+                                             cfg.lr_warmup_steps),
+             optax.schedules.constant_schedule(cfg.learning_rate)],
+            [cfg.lr_warmup_steps],
+        )
+    elif cfg.lr_scheduler == "linear":
+        lr = optax.schedules.join_schedules(
+            [optax.schedules.linear_schedule(0.0, cfg.learning_rate,
+                                             cfg.lr_warmup_steps),
+             optax.schedules.linear_schedule(
+                 cfg.learning_rate, 0.0,
+                 max(cfg.max_train_steps - cfg.lr_warmup_steps, 1))],
+            [cfg.lr_warmup_steps],
+        )
     elif cfg.lr_scheduler == "cosine":
         lr = optax.schedules.warmup_cosine_decay_schedule(
             0.0, cfg.learning_rate, cfg.lr_warmup_steps, cfg.max_train_steps)
