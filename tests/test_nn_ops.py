@@ -276,3 +276,35 @@ def test_pallas_attention_q8_matches_dequantized_xla(rng):
     # int8 rounding error vs the unquantized cache stays small
     err = np.abs(np.asarray(got) - np.asarray(ref_f32)).max()
     assert err < 0.05, err
+
+
+def test_pallas_attention_q8t_matches_dequantized_xla(rng):
+    """Transposed-layout int8-KV kernel (D on sublanes, KV length on lanes)
+    vs the einsum path on the dequantized cache."""
+    from vla_touch_tpu.ops import pallas_attention as pa
+    from vla_touch_tpu.ops.attention import _attention_xla
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Lq, Lkv, H, D = 1, 35, 300, 4, 64
+    q = jnp.asarray(rng.normal(size=(B, Lq, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Lkv, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Lkv, H, D)), jnp.float32)
+    mask = np.ones((B, Lkv), bool)
+    mask[0, 250:] = False
+    mask = jnp.asarray(mask)
+
+    k_t, sk, v_t, sv = pa.quantize_kv_t(k, v)
+    assert k_t.shape == (B, H, D, Lkv) and k_t.dtype == jnp.int8
+    k_dq = jnp.transpose(k_t.astype(jnp.float32), (0, 3, 1, 2)) * sk[:, None]
+    v_dq = jnp.transpose(v_t.astype(jnp.float32), (0, 3, 1, 2)) * sv[:, None]
+    ref_dq = _attention_xla(q, k_dq, v_dq, kv_mask=mask)
+    ref_f32 = _attention_xla(q, k, v, kv_mask=mask)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = pa.flash_cross_attention_q8t(q, k_t, sk, v_t, sv,
+                                           kv_mask=mask, block_kv=128)
+    assert got.shape == q.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_dq),
+                               atol=5e-3)
+    err = np.abs(np.asarray(got) - np.asarray(ref_f32)).max()
+    assert err < 0.05, err

@@ -185,3 +185,41 @@ def test_quantized_predict_pallas_matmul(rng):
                                          freqs, matmul="pallas")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_quantized_predict_int8t_kv_cache(rng):
+    """Transposed int8 KV cache (the layout that truly halves reads at
+    head_dim 64) matches the bf16-cache quant path up to KV rounding."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    params = R.init_rdt(RCFG, jax.random.PRNGKey(0))
+    params["model"]["final_ffn"]["fc2"] = {
+        "kernel": jnp.asarray(rng.normal(
+            size=params["model"]["final_ffn"]["fc2"]["kernel"].shape) * 0.05,
+            jnp.float32),
+        "bias": params["model"]["final_ffn"]["fc2"]["bias"],
+    }
+    qparams = Q.quantize_rdt_params(params)
+
+    m = TINY
+    B, Ll = 1, 7
+    lang = jnp.asarray(rng.normal(size=(B, Ll, m.lang_token_dim)), jnp.float32)
+    lang_mask = jnp.ones((B, Ll), bool)
+    img = jnp.asarray(rng.normal(size=(B, m.img_cond_len, m.img_token_dim)),
+                      jnp.float32)
+    state = jnp.asarray(rng.normal(size=(B, 1, m.state_token_dim)), jnp.float32)
+    amask = jnp.ones((B, 1, m.output_dim), jnp.float32)
+    freqs = jnp.asarray([10.0])
+
+    ref = Q.rdt_predict_action_quant(RCFG, qparams, jax.random.PRNGKey(1),
+                                     lang, lang_mask, img, state, amask,
+                                     freqs)
+    with pltpu.force_tpu_interpret_mode():
+        got = Q.rdt_predict_action_quant(RCFG, qparams, jax.random.PRNGKey(1),
+                                         lang, lang_mask, img, state, amask,
+                                         freqs, kv_cache="int8t")
+    ref_n, got_n = np.asarray(ref), np.asarray(got)
+    rel = np.abs(got_n - ref_n).max() / max(np.abs(ref_n).max(), 1e-6)
+    assert rel < 0.1, rel
+    corr = np.corrcoef(ref_n.ravel(), got_n.ravel())[0, 1]
+    assert corr > 0.99, corr

@@ -24,8 +24,9 @@ from vla_touch_tpu.config import RDTModelConfig
 from vla_touch_tpu.models.rdt import runner as R
 from vla_touch_tpu.ops import schedulers as sched_lib
 from vla_touch_tpu.ops.attention import dot_product_attention
-from vla_touch_tpu.ops.pallas_attention import (flash_cross_attention_q8,
-                                                quantize_kv)
+from vla_touch_tpu.ops.pallas_attention import (
+    flash_cross_attention_q8, flash_cross_attention_q8t, quantize_kv,
+    quantize_kv_t)
 from vla_touch_tpu.ops.pos_embed import timestep_embedding
 from vla_touch_tpu.ops.quant import qdense, quantize_linear, quantize_tree
 
@@ -102,7 +103,13 @@ def _cross_attn_cached(p, x, kv, mask, num_heads, qd=qdense):
     hd = C // num_heads
     q = qd(x, p["q"]).reshape(B, N, num_heads, hd)
     q = _rmsnorm(q, p["q_norm"]["weight"])
-    if len(kv) == 4:
+    if len(kv) == 5:
+        # transposed int8 cache: head_dim on sublanes, so the streamed
+        # bytes truly halve at head_dim 64 (the padded variant below reads
+        # as many bytes as bf16 there).
+        _, k_t, sk, v_t, sv = kv
+        out = flash_cross_attention_q8t(q, k_t, sk, v_t, sv, kv_mask=mask)
+    elif len(kv) == 4:
         # int8 KV cache: per-step reads halve through the Pallas flash
         # kernel (the B=1 denoise step is HBM-bound on these reads).
         k_i8, sk, v_i8, sv = kv
@@ -162,6 +169,8 @@ def compute_cond_kv_quant(mp: dict, cfg: RDTModelConfig, lang_c, img_c,
         k = _rmsnorm(kv[:, :, 0], ca["k_norm"]["weight"])
         if kv_cache == "int8":
             out.append(quantize_kv(k, kv[:, :, 1]))
+        elif kv_cache == "int8t":
+            out.append(("t",) + quantize_kv_t(k, kv[:, :, 1]))
         else:
             out.append((k, kv[:, :, 1]))
     return out
