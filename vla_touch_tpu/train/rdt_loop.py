@@ -329,7 +329,10 @@ def main(argv=None):
                    dest="grad_accum", type=int, default=4)
     p.add_argument("--max_train_steps", type=int, default=40000)
     p.add_argument("--num_train_epochs", type=int, default=None,
-                   help="alternative cap: steps = epochs x (episodes/batch)")
+                   help="accepted for compat; sampling is episode-length-"
+                        "weighted and infinite here, cap with "
+                        "--max_train_steps (the reference's effective knob "
+                        "too, main.py:116-124)")
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--scale_lr", action="store_true",
                    help="scale lr by global batch (x processes, "
