@@ -204,3 +204,46 @@ def test_lstm_full_config_golden():
     np.testing.assert_allclose(np.asarray(out), fx["sequence"], atol=2e-2,
                                rtol=2e-2)
     print(f"lstm_full sequence MSE: {mse:.3e}")
+
+
+# --------------------------------------------------- runtime chunk anchor --
+
+def test_policy_chunk_frozen_anchor():
+    """The deployment policy path (SigLIP encode -> 128-D pack -> denoise ->
+    unpack, one jit) reproduces its frozen recorded chunk exactly — the
+    synthetic-form recorded-chunk action-parity anchor (BASELINE.md north
+    star shape; guards pack/unpack + scheduler wiring drift)."""
+    import jax
+
+    from tests.make_golden_fixtures import INPUT_SEED
+    from vla_touch_tpu.config import NoiseSchedulerConfig, rdt_tiny
+    from vla_touch_tpu.models.encoders.vit import ViTConfig
+    from vla_touch_tpu.models.rdt import runner as R
+    from vla_touch_tpu.runtime import policy as P
+
+    fx = _load("policy_chunk.npz")
+    vit = ViTConfig(hidden_size=48, num_layers=1, num_heads=4, mlp_dim=96,
+                    image_size=28, patch_size=14, use_cls_token=False,
+                    use_layerscale=False, gelu_tanh=True)
+    cfg = P.PolicyConfig(
+        rdt=R.RDTRunnerConfig(model=rdt_tiny(dtype="float32"),
+                              noise=NoiseSchedulerConfig(
+                                  num_inference_timesteps=3)),
+        vision=vit, image_size=28)
+    model = P.create_model(cfg, seed=0)
+    rng = np.random.default_rng(int(fx["input_seed"]))
+    import jax.numpy as jnp
+
+    model.rdt_params["model"]["final_ffn"]["fc2"]["kernel"] = jnp.asarray(
+        rng.normal(size=model.rdt_params["model"]["final_ffn"]["fc2"][
+            "kernel"].shape) * 0.05, jnp.float32)
+    model._key = jax.random.PRNGKey(99)
+
+    proprio = rng.normal(size=(1, 10)).astype(np.float32)
+    images = [rng.integers(0, 255, size=(28, 28, 3)).astype(np.uint8)
+              for _ in range(6)]
+    text = rng.normal(size=(1, 6, cfg.rdt.model.lang_token_dim)).astype(
+        np.float32)
+    chunk = model.step(proprio, images, text)
+    mse = _mse(chunk, fx["chunk"])
+    assert mse < 1e-6, mse
