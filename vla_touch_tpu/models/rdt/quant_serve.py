@@ -106,12 +106,17 @@ def _cross_attn_cached(p, x, kv, mask, num_heads, qd=qdense):
     if len(kv) == 5:
         # transposed int8 cache: head_dim on sublanes, so the streamed
         # bytes truly halve at head_dim 64 (the padded variant below reads
-        # as many bytes as bf16 there).
+        # as many bytes as bf16 there).  MEASURED SLOW at RDT-1B (266 ms vs
+        # 23.5 ms quant-xla): the AV product contracts over the LANE axis
+        # of both operands in this layout, forcing implicit VREG
+        # transposes every KV block.  Kept as an explicitly-documented
+        # negative result; default serving stays kv_cache='bf16'.
         _, k_t, sk, v_t, sv = kv
         out = flash_cross_attention_q8t(q, k_t, sk, v_t, sv, kv_mask=mask)
     elif len(kv) == 4:
-        # int8 KV cache: per-step reads halve through the Pallas flash
-        # kernel (the B=1 denoise step is HBM-bound on these reads).
+        # padded-layout int8 cache: also a measured LOSS at head_dim 64
+        # (34.8 ms vs 23.5 ms) — padding D 64->128 lanes makes the int8
+        # reads as large as unpadded bf16.  Viable only for head_dim 128.
         k_i8, sk, v_i8, sv = kv
         out = flash_cross_attention_q8(q, k_i8, sk, v_i8, sv, kv_mask=mask)
     else:
