@@ -222,3 +222,59 @@ def rdt_predict_action(cfg: RDTRunnerConfig, params, key, lang_tokens,
         model_fn, noisy, noise_sched, steps,
         prediction_type=cfg.noise.prediction_type)
     return action * mask_h
+
+
+def rdt_predict_action_warm(cfg: RDTRunnerConfig, params, key, lang_tokens,
+                            lang_mask, img_tokens, state_tokens, action_mask,
+                            ctrl_freqs, prior_chunk, skip_steps: int,
+                            num_inference_timesteps: Optional[int] = None):
+    """Warm-started replan: partial denoising from the previous chunk.
+
+    The deployment loop replans every 16 executed ticks while the previous
+    64-step chunk still covers most of the horizon; starting the solver
+    from the (shifted) previous chunk re-noised to step ``skip_steps``'s
+    level — instead of pure noise — skips the coarse early steps entirely
+    (Falcon-style partial denoising, arXiv:2503.00339; the reference always
+    restarts from scratch, ``rdt_runner.py:138``).  ``prior_chunk``
+    (B, horizon, 128) must already be shifted by the executed ticks.
+    ``skip_steps=0`` degenerates to :func:`rdt_predict_action` exactly.
+    """
+    m = cfg.model
+    module = RDTRunnerModule(m)
+    steps = num_inference_timesteps or cfg.noise.num_inference_timesteps
+    assert 0 <= skip_steps < steps, (skip_steps, steps)
+    noise_sched = sched_lib.DiffusionSchedule.create(
+        cfg.noise.num_train_timesteps, cfg.noise.beta_schedule)
+    B = state_tokens.shape[0]
+
+    state_in = jnp.concatenate(
+        [state_tokens, action_mask.astype(state_tokens.dtype)], axis=2)
+    lang_c, img_c, state_traj = module.apply(
+        {"params": params}, lang_tokens, img_tokens, state_in,
+        method=RDTRunnerModule.adapt_conditions)
+    cond_kv = module.apply({"params": params}, lang_c, img_c,
+                           method=RDTRunnerModule.compute_cond_kv)
+    mask_h = jnp.broadcast_to(action_mask.astype(jnp.float32),
+                              (B, m.horizon, m.output_dim))
+
+    def model_fn(noisy_action, t):
+        action_in = jnp.concatenate([noisy_action, mask_h], axis=2)
+        action_traj = module.apply({"params": params}, action_in,
+                                   method=RDTRunnerModule.adapt_state)
+        x = jnp.concatenate([state_traj, action_traj], axis=1)
+        out = module.apply({"params": params}, x, ctrl_freqs, t, cond_kv,
+                           lang_mask,
+                           method=RDTRunnerModule.forward_cached)
+        return out.astype(jnp.float32)
+
+    noise = jax.random.normal(key, (B, m.horizon, m.output_dim), jnp.float32)
+    if skip_steps == 0:
+        x_init = noise
+    else:
+        x_init = sched_lib.dpm_renoise(
+            jnp.asarray(prior_chunk, jnp.float32) * mask_h, noise,
+            noise_sched, steps, skip_steps)
+    action = sched_lib.sample_dpm_solver(
+        model_fn, x_init, noise_sched, steps,
+        prediction_type=cfg.noise.prediction_type, start_index=skip_steps)
+    return action * mask_h

@@ -224,15 +224,26 @@ def sample_dpm_solver(model_fn, x_init, schedule: DiffusionSchedule,
                       num_inference_steps: int,
                       prediction_type: str = "sample",
                       lower_order_final: bool = True,
-                      final_sigma: Literal["zero", "sigma_min"] = "zero"):
+                      final_sigma: Literal["zero", "sigma_min"] = "zero",
+                      start_index: int = 0):
     """Run the full DPM-Solver++ denoise loop as a single ``lax.scan``.
 
     ``model_fn(x, t)``: x (B, ...) float, t int32 (B,) train-timestep indices
     -> prediction of the configured type.  Equivalent of the reference's
     per-step python loop (``rdt_runner.py:146-160``) but fully compiled.
+
+    ``start_index`` > 0 runs only the schedule TAIL (partial denoising for
+    warm-started replans, à la Falcon/Δ-DiT): ``x_init`` must then sit at
+    step ``start_index``'s noise level — build it with
+    :func:`dpm_renoise`.  The first executed step drops to first order
+    (no model-output history exists yet).
     """
     tables = make_dpm_tables(schedule, num_inference_steps,
                              lower_order_final, final_sigma)
+    if start_index:
+        tables = dataclasses.replace(
+            tables,
+            use_first_order=tables.use_first_order.at[start_index].set(True))
     in_dtype = x_init.dtype
     batch = x_init.shape[0]
 
@@ -247,9 +258,23 @@ def sample_dpm_solver(model_fn, x_init, schedule: DiffusionSchedule,
     x0_init = jnp.zeros_like(x_init, dtype=jnp.float32)
     (x_final, _), _ = jax.lax.scan(
         body, (x_init.astype(jnp.float32), x0_init),
-        jnp.arange(num_inference_steps),
+        jnp.arange(start_index, num_inference_steps),
     )
     return x_final.astype(in_dtype)
+
+
+def dpm_renoise(x0, noise, schedule: DiffusionSchedule,
+                num_inference_steps: int, start_index: int,
+                lower_order_final: bool = True,
+                final_sigma: Literal["zero", "sigma_min"] = "zero"):
+    """Place a clean sample at the noise level of solver step
+    ``start_index`` (x = alpha_t x0 + sigma_t eps in the solver's tables
+    convention) — the warm-start entry point for partial denoising."""
+    tables = make_dpm_tables(schedule, num_inference_steps,
+                             lower_order_final, final_sigma)
+    a = tables.alpha_t[start_index]
+    s = tables.sigma_t[start_index]
+    return (a * x0.astype(jnp.float32) + s * noise.astype(jnp.float32))
 
 
 # ---- DDPM ancestral sampler (used by the reference for training-time eval

@@ -123,9 +123,11 @@ class ChunkScheduler:
     def __init__(self, cfg: ControlLoopConfig, plan_fn: Callable,
                  bridge_refine_fn: Optional[Callable] = None,
                  lstm_step_fn: Optional[Callable] = None,
-                 instructions: Optional[InstructionStore] = None):
+                 instructions: Optional[InstructionStore] = None,
+                 plan_warm_fn: Optional[Callable] = None):
         self.cfg = cfg
         self.plan_fn = plan_fn
+        self.plan_warm_fn = plan_warm_fn
         self.bridge_refine_fn = bridge_refine_fn
         self.lstm_step_fn = lstm_step_fn
         self.instructions = instructions
@@ -153,7 +155,19 @@ class ChunkScheduler:
             self.chunk = None
 
         if self.chunk is None or self.chunk_pos >= cfg.replan_interval:
-            self.chunk = np.asarray(self.plan_fn(self.window))
+            if self.plan_warm_fn is not None and self.chunk is not None:
+                # Warm-started replan (partial denoising): the previous
+                # chunk, shifted by the ticks already executed and padded
+                # with its last action, seeds the solver tail.
+                n = self.chunk.shape[0]
+                k = min(self.chunk_pos, n)
+                prior = np.concatenate(
+                    [self.chunk[k:], np.repeat(self.chunk[-1:], k, axis=0)],
+                    axis=0)
+                self.chunk = np.asarray(self.plan_warm_fn(self.window,
+                                                          prior))
+            else:
+                self.chunk = np.asarray(self.plan_fn(self.window))
             self.chunk_pos = 0
             if cfg.refiner == "bridge" and self.bridge_refine_fn is not None:
                 n = min(cfg.refine_horizon, self.chunk.shape[0])

@@ -113,6 +113,43 @@ def _predict_from_tokens(cfg: PolicyConfig, rdt_params, key, proprio,
     return chunk[:, :, idx] * out_scale
 
 
+@partial(jax.jit, static_argnames=("cfg", "skip_steps"))
+def policy_step_warm(cfg: PolicyConfig, rdt_params, vision_params, key,
+                     proprio, images, image_mask, text_embeds, text_mask,
+                     prior_actions, skip_steps: int):
+    """Replan with partial denoising: the previous chunk (already shifted by
+    the executed ticks, in RAW robot action units, (B, horizon, D_low))
+    seeds the solver at step ``skip_steps`` instead of pure noise
+    (Falcon-style warm start; the reference restarts from scratch every
+    replan, ``rdt_runner.py:138``)."""
+    m = cfg.rdt.model
+    B = proprio.shape[0]
+    dtype = m.compute_dtype
+    img_tokens = _encode_frames(cfg, vision_params, images, image_mask,
+                                dtype)
+
+    scale = jnp.asarray(cfg.state_scale, jnp.float32)
+    low = proprio.astype(jnp.float32) / scale
+    idx = jnp.asarray(cfg.state_indices, jnp.int32)
+    state = jnp.zeros((B, m.state_token_dim), jnp.float32).at[:, idx].set(low)
+    mask = jnp.zeros((B, m.state_token_dim), jnp.float32).at[:, idx].set(1.0)
+
+    out_scale = jnp.asarray(
+        cfg.action_scale if cfg.action_scale is not None else cfg.state_scale,
+        jnp.float32)
+    prior128 = jnp.zeros((B, m.horizon, m.output_dim), jnp.float32)
+    prior128 = prior128.at[:, :, idx].set(
+        prior_actions.astype(jnp.float32) / out_scale)
+
+    chunk = R.rdt_predict_action_warm(
+        cfg.rdt, rdt_params, key,
+        text_embeds.astype(dtype), text_mask, img_tokens.astype(dtype),
+        state[:, None, :].astype(dtype), mask[:, None, :],
+        jnp.full((B,), cfg.control_frequency, jnp.float32),
+        prior128, skip_steps)
+    return chunk[:, :, idx] * out_scale
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def policy_step(cfg: PolicyConfig, rdt_params, vision_params, key,
                 proprio, images, image_mask, text_embeds, text_mask):
