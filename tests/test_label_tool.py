@@ -65,13 +65,16 @@ def test_labeler_reuse_skip_quit(capture_root):
     labeled = LT.run_labeler(capture_root, input_fn=lambda _: next(answers),
                              print_fn=lambda s: None)
     assert len(labeled) == 1  # second episode untouched after 'q'
-    answers = iter(["-", "0"])
+    answers = iter(["-", "0", "=", "wipe gently"])
+    shown = []
     labeled = LT.run_labeler(capture_root, relabel=True,
                              input_fn=lambda _: next(answers),
-                             print_fn=lambda s: None)
-    # '-' skipped episode_0; with an empty suggestion list "0" is out of
-    # range and therefore taken as literal instruction text.
-    assert list(labeled.values()) == ["0"]
+                             print_fn=shown.append)
+    # '-' skipped episode_0; out-of-range '0' and history-less '=' are
+    # command syntax and re-prompt instead of becoming labels.
+    assert list(labeled.values()) == ["wipe gently"]
+    assert any("no suggestion #0" in s for s in shown)
+    assert any("no previous instruction" in s for s in shown)
 
 
 def test_review_gelsight(capture_root):

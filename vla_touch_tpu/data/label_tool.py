@@ -103,18 +103,30 @@ def run_labeler(capture_root: str, *, relabel: bool = False,
         print_fn(f"episode: {os.path.basename(d)}")
         for i, s in enumerate(seen):
             print_fn(f"  {i}: {s}")
-        ans = input_fn("instruction (text | #num | = | - | q): ").strip()
-        if ans == "q":
-            break
-        if ans == "-":
-            continue
-        if ans == "=" and last is not None:
-            text = last
-        elif ans.isdigit() and int(ans) < len(seen):
-            text = seen[int(ans)]
-        else:
-            text = ans
-        if not text:
+        text = None
+        while text is None:
+            ans = input_fn("instruction (text | #num | = | - | q): ").strip()
+            if ans in ("q", "-"):
+                break
+            if ans == "=":
+                if last is None:
+                    print_fn("no previous instruction to repeat")
+                    continue
+                text = last
+            elif ans.isdigit():
+                if int(ans) < len(seen):
+                    text = seen[int(ans)]
+                else:
+                    # bare digits are command syntax, never a label — an
+                    # out-of-range index must not silently become the
+                    # instruction text
+                    print_fn(f"no suggestion #{ans} "
+                             f"({len(seen)} available)")
+            elif ans:
+                text = ans
+        if text is None:
+            if ans == "q":
+                break
             continue
         with open(path, "w") as f:
             f.write(text + "\n")

@@ -166,24 +166,36 @@ def rdt_compute_loss(cfg: RDTRunnerConfig, params, key, batch):
     return jnp.mean(jnp.square(pred.astype(jnp.float32) - target))
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_inference_timesteps"))
+@partial(jax.jit, static_argnames=("cfg", "num_inference_timesteps",
+                                   "skip_steps"))
 def rdt_predict_action(cfg: RDTRunnerConfig, params, key, lang_tokens,
                        lang_mask, img_tokens, state_tokens, action_mask,
                        ctrl_freqs,
                        num_inference_timesteps: Optional[int] = None,
-                       init_noise=None):
+                       init_noise=None, prior_chunk=None,
+                       skip_steps: int = 0):
     """Full action-chunk inference as one compiled program
     (``rdt_runner.py:225-250`` + ``conditional_sample`` :122-165).
 
     state_tokens (B, 1, 128); action_mask (B, 1, 128) float; returns
-    (B, horizon, 128).  ``init_noise`` (B, horizon, 128) overrides the
-    key-derived starting noise — the denoise loop is deterministic given it,
-    which is what makes cross-framework <1e-3 golden parity testable
-    (SURVEY §7 hard part 3).
+    (B, horizon, 128).
+
+    ``init_noise`` (B, horizon, 128) overrides the key-derived starting
+    noise — the denoise loop is deterministic given it, which is what makes
+    cross-framework <1e-3 golden parity testable (SURVEY §7 hard part 3).
+
+    ``prior_chunk`` + ``skip_steps`` > 0 run a WARM-STARTED replan (partial
+    denoising, Falcon-style, arXiv:2503.00339): the previous chunk —
+    already shifted by the executed ticks — is re-noised to solver step
+    ``skip_steps``'s level (using ``init_noise`` or the key-derived noise)
+    and only the schedule tail runs.  The reference restarts from scratch
+    every replan (``rdt_runner.py:138``).
     """
     m = cfg.model
     module = RDTRunnerModule(m)
     steps = num_inference_timesteps or cfg.noise.num_inference_timesteps
+    if not 0 <= skip_steps < steps:
+        raise ValueError(f"skip_steps {skip_steps} not in [0, {steps})")
     noise_sched = sched_lib.DiffusionSchedule.create(
         cfg.noise.num_train_timesteps, cfg.noise.beta_schedule)
 
@@ -214,60 +226,10 @@ def rdt_predict_action(cfg: RDTRunnerConfig, params, key, lang_tokens,
         return out.astype(jnp.float32)
 
     if init_noise is None:
-        noisy = jax.random.normal(key, (B, m.horizon, m.output_dim),
+        noise = jax.random.normal(key, (B, m.horizon, m.output_dim),
                                   jnp.float32)
     else:
-        noisy = jnp.asarray(init_noise, jnp.float32)
-    action = sched_lib.sample_dpm_solver(
-        model_fn, noisy, noise_sched, steps,
-        prediction_type=cfg.noise.prediction_type)
-    return action * mask_h
-
-
-def rdt_predict_action_warm(cfg: RDTRunnerConfig, params, key, lang_tokens,
-                            lang_mask, img_tokens, state_tokens, action_mask,
-                            ctrl_freqs, prior_chunk, skip_steps: int,
-                            num_inference_timesteps: Optional[int] = None):
-    """Warm-started replan: partial denoising from the previous chunk.
-
-    The deployment loop replans every 16 executed ticks while the previous
-    64-step chunk still covers most of the horizon; starting the solver
-    from the (shifted) previous chunk re-noised to step ``skip_steps``'s
-    level — instead of pure noise — skips the coarse early steps entirely
-    (Falcon-style partial denoising, arXiv:2503.00339; the reference always
-    restarts from scratch, ``rdt_runner.py:138``).  ``prior_chunk``
-    (B, horizon, 128) must already be shifted by the executed ticks.
-    ``skip_steps=0`` degenerates to :func:`rdt_predict_action` exactly.
-    """
-    m = cfg.model
-    module = RDTRunnerModule(m)
-    steps = num_inference_timesteps or cfg.noise.num_inference_timesteps
-    assert 0 <= skip_steps < steps, (skip_steps, steps)
-    noise_sched = sched_lib.DiffusionSchedule.create(
-        cfg.noise.num_train_timesteps, cfg.noise.beta_schedule)
-    B = state_tokens.shape[0]
-
-    state_in = jnp.concatenate(
-        [state_tokens, action_mask.astype(state_tokens.dtype)], axis=2)
-    lang_c, img_c, state_traj = module.apply(
-        {"params": params}, lang_tokens, img_tokens, state_in,
-        method=RDTRunnerModule.adapt_conditions)
-    cond_kv = module.apply({"params": params}, lang_c, img_c,
-                           method=RDTRunnerModule.compute_cond_kv)
-    mask_h = jnp.broadcast_to(action_mask.astype(jnp.float32),
-                              (B, m.horizon, m.output_dim))
-
-    def model_fn(noisy_action, t):
-        action_in = jnp.concatenate([noisy_action, mask_h], axis=2)
-        action_traj = module.apply({"params": params}, action_in,
-                                   method=RDTRunnerModule.adapt_state)
-        x = jnp.concatenate([state_traj, action_traj], axis=1)
-        out = module.apply({"params": params}, x, ctrl_freqs, t, cond_kv,
-                           lang_mask,
-                           method=RDTRunnerModule.forward_cached)
-        return out.astype(jnp.float32)
-
-    noise = jax.random.normal(key, (B, m.horizon, m.output_dim), jnp.float32)
+        noise = jnp.asarray(init_noise, jnp.float32)
     if skip_steps == 0:
         x_init = noise
     else:
@@ -278,3 +240,18 @@ def rdt_predict_action_warm(cfg: RDTRunnerConfig, params, key, lang_tokens,
         model_fn, x_init, noise_sched, steps,
         prediction_type=cfg.noise.prediction_type, start_index=skip_steps)
     return action * mask_h
+
+
+def rdt_predict_action_warm(cfg: RDTRunnerConfig, params, key, lang_tokens,
+                            lang_mask, img_tokens, state_tokens, action_mask,
+                            ctrl_freqs, prior_chunk, skip_steps: int,
+                            num_inference_timesteps: Optional[int] = None,
+                            init_noise=None):
+    """Warm-started replan — named convenience alias of
+    :func:`rdt_predict_action` with ``prior_chunk``/``skip_steps``."""
+    return rdt_predict_action(
+        cfg, params, key, lang_tokens, lang_mask, img_tokens, state_tokens,
+        action_mask, ctrl_freqs,
+        num_inference_timesteps=num_inference_timesteps,
+        init_noise=init_noise, prior_chunk=prior_chunk,
+        skip_steps=skip_steps)

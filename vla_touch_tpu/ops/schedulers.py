@@ -238,6 +238,11 @@ def sample_dpm_solver(model_fn, x_init, schedule: DiffusionSchedule,
     :func:`dpm_renoise`.  The first executed step drops to first order
     (no model-output history exists yet).
     """
+    if not 0 <= start_index < num_inference_steps:
+        raise ValueError(
+            f"start_index {start_index} not in [0, {num_inference_steps}) — "
+            "an empty solver tail would silently return the (re)noised "
+            "input unchanged")
     tables = make_dpm_tables(schedule, num_inference_steps,
                              lower_order_final, final_sigma)
     if start_index:

@@ -407,9 +407,13 @@ def llm_tp_spec(path: tuple):
     if keys and keys[0] == "embed":
         return P("model", None)
     if name.endswith("kernel"):
-        if any(f"/{t}/" in f"/{name}/" for t in ("q", "k", "v", "gate", "up")):
+        # lm_head (D, V) is column-sharded over the vocab (Megatron
+        # convention): per-chip logits shards instead of an all-reduce over
+        # the full (B, L, V) tensor every decode step.
+        if any(f"/{t}/" in f"/{name}/"
+               for t in ("q", "k", "v", "gate", "up", "lm_head")):
             return P(None, "model")
-        if any(f"/{t}/" in f"/{name}/" for t in ("o", "down", "lm_head")):
+        if any(f"/{t}/" in f"/{name}/" for t in ("o", "down")):
             return P("model", None)
     if name.endswith("bias"):
         if any(f"/{t}/" in f"/{name}/" for t in ("q", "k", "v")):

@@ -157,7 +157,9 @@ def extract_objectfolder(dataset_root: str, out_dir: str,
             continue
         for sample in sorted(os.listdir(opath)):
             gel = os.path.join(opath, sample, "0", "gelsight")
-            if "backup" in gel or not os.path.isdir(gel):
+            # backup check on the SAMPLE name only — a dataset root that
+            # happens to contain "backup" must not skip everything
+            if "backup" in sample or not os.path.isdir(gel):
                 continue
             sdir = os.path.join(out_dir, f"{dataset}_{count}")
             n = extract_recording(gel, sdir)
@@ -206,11 +208,15 @@ def build_samples_json(out_dir: str, train_json_path: str,
                        val_json_path: str, test_json_path: str,
                        holdout_frac: float = 0.2, seed: int = 0) -> dict:
     """Sample registries {object_id: [sample_dir, ...]} per split
-    (``get_physiclear_samples`` semantics: explicit VAL_OBJECTS split when
-    the tables define one, else a random train/val holdout)."""
+    (``get_physiclear_samples`` semantics): objects named in the PhysiCLeAR
+    split tables follow them; unrated objects (hardness/objectfolder
+    corpora) fall to a random PER-OBJECT train/val holdout (never splitting
+    one object's recordings across splits)."""
     rng = np.random.default_rng(seed)
     train, val, test = {}, {}, {}
-    use_val_tables = len(PC.VAL_OBJECTS) > 0
+    tabled = (set(PC.TRAIN_OBJECTS) | set(PC.VAL_OBJECTS)
+              | set(PC.TEST_OBJECTS))
+    holdout_cache: dict = {}
     for name in sorted(os.listdir(out_dir)):
         sdir = os.path.join(out_dir, name)
         dj = os.path.join(sdir, "data.json")
@@ -221,18 +227,14 @@ def build_samples_json(out_dir: str, train_json_path: str,
         obj = data.get("object_id")
         if obj is None:
             continue
-        if obj in PC.TEST_OBJECTS:
-            test.setdefault(obj, []).append(sdir)
-        elif use_val_tables:
-            if obj in PC.TRAIN_OBJECTS:
-                train.setdefault(obj, []).append(sdir)
-            elif obj in PC.VAL_OBJECTS:
-                val.setdefault(obj, []).append(sdir)
-            else:  # unrated corpora (hardness/objectfolder): train
-                train.setdefault(obj, []).append(sdir)
+        if obj in tabled:
+            dest = (test if obj in PC.TEST_OBJECTS else
+                    val if obj in PC.VAL_OBJECTS else train)
         else:
-            (val if rng.random() < holdout_frac else train).setdefault(
-                obj, []).append(sdir)
+            if obj not in holdout_cache:
+                holdout_cache[obj] = rng.random() < holdout_frac
+            dest = val if holdout_cache[obj] else train
+        dest.setdefault(obj, []).append(sdir)
     for path, d in ((train_json_path, train), (val_json_path, val),
                     (test_json_path, test)):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

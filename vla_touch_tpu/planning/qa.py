@@ -191,7 +191,11 @@ def generate_physiclear_description_ranking_qa(
                     rng.shuffle(words)
                     ans.append(f"Object {idx}: {', '.join(words)}.")
             else:
-                group = [obj] + list(rng.choice(pool, size=n_parts - 1))
+                # extra parts drawn WITHOUT the object itself (or repeats):
+                # identical parts would yield degenerate `3.1 >= 3.2` ranks
+                others = [o for o in pool if o != obj]
+                group = [obj] + list(rng.choice(others, size=n_parts - 1,
+                                                replace=False))
                 objects_dict[f"Object {idx}"] = {
                     p + 1: g for p, g in enumerate(group)}
                 q.append(f"Object {idx}\n")
@@ -243,13 +247,21 @@ def generate_physiclear_scenario_qa(samples: dict, num_samples: int, *,
     single-object branch), including the follow-up verification turn."""
     from vla_touch_tpu.planning import physiclear as PC
 
+    import logging
+
     rng = np.random.default_rng(seed)
     info = PC.SCENARIOS
     use = {k: v for k, v in info.items()
            if scenarios is None or k in scenarios}
     options = ["A)", "B)", "C)", "D)"]
     rows, seen = [], set()
-    for _ in range(num_samples):
+    # Distinct rows are capped by the available unique recordings (the
+    # reference dedups the same way); keep drawing until the request is met
+    # or the pool is provably exhausted, and say so rather than silently
+    # under-delivering.
+    attempts, max_attempts = 0, max(50 * num_samples, 200)
+    while len(rows) < num_samples and attempts < max_attempts:
+        attempts += 1
         name = list(use)[int(rng.integers(len(use)))]
         sc = use[name]
         ridx = int(rng.integers(len(sc["target_sample"])))
@@ -290,6 +302,10 @@ def generate_physiclear_scenario_qa(samples: dict, num_samples: int, *,
                      "num_candidates": len(sc["all_candidate"])},
             "chat": chat,
         })
+    if len(rows) < num_samples:
+        logging.getLogger("qa").warning(
+            "scenario QA: %d/%d rows generated — unique target recordings "
+            "exhausted", len(rows), num_samples)
     return rows
 
 

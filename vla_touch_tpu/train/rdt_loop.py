@@ -116,12 +116,22 @@ class RDTTrainer:
     def load_checkpoint(self, state: T.TrainState, path: str) -> T.TrainState:
         from vla_touch_tpu.utils.ema import EmaState
 
-        params = ckpt.load_pytree(os.path.join(path, "params.msgpack"),
-                                  state.params)
-        shadow = ckpt.load_pytree(os.path.join(path, "ema.msgpack"),
-                                  state.ema.shadow)
-        opt_state = ckpt.load_pytree(os.path.join(path, "opt_state.msgpack"),
-                                     state.opt_state)
+        orbax_path = os.path.join(path, "state.orbax")
+        if os.path.exists(orbax_path):
+            # Multi-host runs save through the cooperative orbax backend
+            # (see save_checkpoint); resume must read the same format.
+            tree = ckpt.load_pytree_orbax(orbax_path, {
+                "params": state.params, "ema": state.ema.shadow,
+                "opt_state": state.opt_state})
+            params, shadow = tree["params"], tree["ema"]
+            opt_state = tree["opt_state"]
+        else:
+            params = ckpt.load_pytree(os.path.join(path, "params.msgpack"),
+                                      state.params)
+            shadow = ckpt.load_pytree(os.path.join(path, "ema.msgpack"),
+                                      state.ema.shadow)
+            opt_state = ckpt.load_pytree(
+                os.path.join(path, "opt_state.msgpack"), state.opt_state)
         meta = ckpt.load_json(os.path.join(path, "meta.json"))
         return T.TrainState(
             params=params, opt_state=opt_state,
