@@ -223,3 +223,110 @@ def test_quantized_predict_int8t_kv_cache(rng):
     assert rel < 0.1, rel
     corr = np.corrcoef(ref_n.ravel(), got_n.ravel())[0, 1]
     assert corr > 0.99, corr
+
+
+# ---- grouped int4 (w4) ------------------------------------------------------
+
+
+def test_w4_pack_roundtrip_and_group_size(rng):
+    from vla_touch_tpu.ops.quant import (
+        pick_group_size, quantize_linear_w4, unpack_w4)
+
+    assert pick_group_size(1152) == 192       # G=6 (128 would leave G=9 odd)
+    assert pick_group_size(4608) == 128
+    assert pick_group_size(256) == 128
+    w = rng.normal(size=(256, 128)).astype(np.float32) * 0.1
+    qp = quantize_linear_w4({"kernel": w})
+    assert qp["w4_pack"].shape == (128, 128) and qp["w4_pack"].dtype == jnp.int8
+    assert qp["scale4"].shape == (2, 128)
+    w_i4 = np.asarray(unpack_w4(qp["w4_pack"], 256))
+    assert w_i4.min() >= -7 and w_i4.max() <= 7
+    # dequantized weights approximate the original within the group-max step
+    deq = w_i4.reshape(2, 128, 128) * np.asarray(qp["scale4"])[:, None, :]
+    step = np.asarray(qp["scale4"])[:, None, :]
+    assert np.all(np.abs(deq.reshape(256, 128) - w)
+                  <= (step / 2 + 1e-6).repeat(128, axis=1).reshape(256, 128))
+
+
+def test_qdense_w4_error_bound(rng):
+    from vla_touch_tpu.ops.quant import qdense_any, quantize_linear_w4
+
+    w = rng.normal(size=(256, 128)).astype(np.float32) * 0.1
+    b = rng.normal(size=(128,)).astype(np.float32) * 0.01
+    x = rng.normal(size=(4, 7, 256)).astype(np.float32)
+    qp = quantize_linear_w4({"kernel": w, "bias": b})
+    got = np.asarray(qdense_any(jnp.asarray(x), qp, out_dtype=jnp.float32))
+    want = x @ w + b
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    # group-max int4 on Gaussian weights: ~12-13% relative (max≈3sigma over
+    # a 128-group, step/sqrt(12) noise) — the documented w4 fidelity trade
+    assert rel < 0.2, rel
+    assert got.shape == (4, 7, 128)
+
+
+def test_w4_pallas_kernel_matches_xla(rng):
+    """Interpret-mode w4a8 kernel == qdense_w4 given matched bf16 inputs."""
+    from vla_touch_tpu.ops.pallas_matmul import qdense_pallas_w4, w4a8_matmul
+    from vla_touch_tpu.ops.quant import qdense_w4, quantize_linear_w4
+
+    for K, N, M in [(1152, 384, 66), (256, 128, 1)]:
+        w = rng.normal(size=(K, N)).astype(np.float32) * 0.05
+        b = rng.normal(size=(N,)).astype(np.float32) * 0.01
+        x = jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)
+        qp = quantize_linear_w4({"kernel": w, "bias": b})
+        want = qdense_w4(x, qp, out_dtype=jnp.float32)
+        got = w4a8_matmul(x, qp["w4_pack"], qp["scale4"], qp["bias"],
+                          out_dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        got2 = qdense_pallas_w4(x, qp, out_dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_rdt_params_int4_layout():
+    params = R.init_rdt(RCFG, jax.random.PRNGKey(0))
+    qparams = Q.quantize_rdt_params(params, weights="int4")
+    mp = qparams["model"]
+    for i in range(TINY.depth):
+        assert "w4_pack" in mp[f"block{i}"]["attn"]["qkv"]
+        assert "w4_pack" in mp[f"block{i}"]["ffn"]["fc1"]
+        kv = mp[f"block{i}"]["cross_attn"]["kv"]
+        assert "w4_pack" not in kv and kv["kernel"].dtype == jnp.bfloat16
+    # adaptor input dims (32 / 48) have no valid group size -> int8 fallback
+    assert "w_i8" in qparams["lang_adaptor"]["fc0"]
+    assert "w_i8" in qparams["img_adaptor"]["fc0"]
+
+
+def test_quantized_predict_action_int4(rng):
+    """The w4 serving path produces directionally-correct chunks (corr gate
+    relaxed vs int8 — group-max int4 is the fidelity-for-bytes trade)."""
+    params = R.init_rdt(RCFG, jax.random.PRNGKey(0))
+    params["model"]["final_ffn"]["fc2"] = {
+        "kernel": jnp.asarray(rng.normal(
+            size=params["model"]["final_ffn"]["fc2"]["kernel"].shape) * 0.05,
+            jnp.float32),
+        "bias": params["model"]["final_ffn"]["fc2"]["bias"],
+    }
+    qparams = Q.quantize_rdt_params(params, weights="int4")
+
+    m = TINY
+    B, Ll = 1, 7
+    lang = jnp.asarray(rng.normal(size=(B, Ll, m.lang_token_dim)), jnp.float32)
+    lang_mask = jnp.ones((B, Ll), bool)
+    img = jnp.asarray(rng.normal(size=(B, m.img_cond_len, m.img_token_dim)),
+                      jnp.float32)
+    state = jnp.asarray(rng.normal(size=(B, 1, m.state_token_dim)),
+                        jnp.float32)
+    amask = jnp.ones((B, 1, m.output_dim), jnp.float32)
+    freqs = jnp.asarray([10.0])
+
+    ref = R.rdt_predict_action(RCFG, params, jax.random.PRNGKey(1), lang,
+                               lang_mask, img, state, amask, freqs)
+    got = Q.rdt_predict_action_quant(RCFG, qparams, jax.random.PRNGKey(1),
+                                     lang, lang_mask, img, state, amask,
+                                     freqs)
+    ref_n, got_n = np.asarray(ref), np.asarray(got)
+    assert np.isfinite(got_n).all()
+    corr = np.corrcoef(ref_n.ravel(), got_n.ravel())[0, 1]
+    assert corr > 0.9, corr

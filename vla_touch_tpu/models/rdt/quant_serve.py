@@ -28,10 +28,11 @@ from vla_touch_tpu.ops.pallas_attention import (
     flash_cross_attention_q8, flash_cross_attention_q8t, quantize_kv,
     quantize_kv_t)
 from vla_touch_tpu.ops.pos_embed import timestep_embedding
-from vla_touch_tpu.ops.quant import qdense, quantize_linear, quantize_tree
+from vla_touch_tpu.ops.quant import (
+    qdense, qdense_any, quantize_linear, quantize_tree, quantize_tree_w4)
 
 
-def quantize_rdt_params(params: dict) -> dict:
+def quantize_rdt_params(params: dict, weights: str = "int8") -> dict:
     """Quantize every 2-D Dense in the runner tree except:
 
     - the tiny timestep embedders (1-token inputs; scales matter for
@@ -46,6 +47,13 @@ def quantize_rdt_params(params: dict) -> dict:
 
     The denoise-loop matmuls (28 blocks x qkv/proj/q/proj/fc1/fc2, read
     every step) are the weight-streaming-bound part and get a8w8 int8.
+
+    ``weights='int4'`` stores them group-wise int4 instead (half the int8
+    bytes again; ``ops/quant.py::quantize_linear_w4`` layout).  Group-max
+    int4 carries ~12% per-matmul weight error — far above the int8 path's
+    ~1% — so it does NOT meet the bench parity gate (chunk corr > 0.999);
+    it is the standard w4 serving trade (GPTQ/AWQ-class) offered for
+    throughput-over-fidelity deployments, with the error measured in tests.
     """
     def should(path, leaf):
         if any("embedder" in p for p in path):
@@ -53,7 +61,11 @@ def quantize_rdt_params(params: dict) -> dict:
         return not (len(path) >= 2 and path[-2] == "cross_attn"
                     and path[-1] == "kv")
 
-    q = quantize_tree(params, should)
+    if weights == "int4":
+        q = quantize_tree_w4(params, should)
+    else:
+        assert weights == "int8", weights
+        q = quantize_tree(params, should)
 
     def cast_kv(node, path=()):
         if isinstance(node, dict):
@@ -81,13 +93,13 @@ def _timestep_embed(p, t, hidden):
     return x.astype(jnp.bfloat16)
 
 
-def _mlp_tanh_gelu(p, x, qd=qdense):
+def _mlp_tanh_gelu(p, x, qd=qdense_any):
     h = qd(x, p["fc1"])
     h = jax.nn.gelu(h, approximate=True)
     return qd(h, p["fc2"])
 
 
-def _self_attn(p, x, num_heads, qd=qdense):
+def _self_attn(p, x, num_heads, qd=qdense_any):
     B, N, C = x.shape
     hd = C // num_heads
     qkv = qd(x, p["qkv"]).reshape(B, N, 3, num_heads, hd)
@@ -98,7 +110,7 @@ def _self_attn(p, x, num_heads, qd=qdense):
     return qd(out, p["proj"])
 
 
-def _cross_attn_cached(p, x, kv, mask, num_heads, qd=qdense):
+def _cross_attn_cached(p, x, kv, mask, num_heads, qd=qdense_any):
     B, N, C = x.shape
     hd = C // num_heads
     q = qd(x, p["q"]).reshape(B, N, num_heads, hd)
@@ -125,7 +137,7 @@ def _cross_attn_cached(p, x, kv, mask, num_heads, qd=qdense):
     return qd(out.reshape(B, N, C), p["proj"])
 
 
-def _adaptor(p, x, qd=qdense):
+def _adaptor(p, x, qd=qdense_any):
     """mlp{N}x_gelu / linear condition adaptor."""
     n = len(p)
     for i in range(n):
@@ -137,10 +149,12 @@ def _adaptor(p, x, qd=qdense):
 
 def _qdense_impl(matmul: str):
     if matmul == "pallas":
-        from vla_touch_tpu.ops.pallas_matmul import qdense_pallas_a8w8
+        from vla_touch_tpu.ops.pallas_matmul import qdense_pallas_w4
 
-        return qdense_pallas_a8w8
-    return qdense
+        # layout-dispatching: int8 leaves -> fused a8w8 kernel, grouped-int4
+        # leaves -> the nibble-streaming w4a8 kernel
+        return qdense_pallas_w4
+    return qdense_any
 
 
 def compute_cond_kv_quant(mp: dict, cfg: RDTModelConfig, lang_c, img_c,
@@ -182,7 +196,7 @@ def compute_cond_kv_quant(mp: dict, cfg: RDTModelConfig, lang_c, img_c,
 
 
 def forward_cached_quant(mp: dict, cfg: RDTModelConfig, x, freq, t, cond_kv,
-                         lang_mask=None, qd=qdense):
+                         lang_mask=None, qd=qdense_any):
     dtype = jnp.bfloat16
     t_tok = _timestep_embed(mp["t_embedder"], t, cfg.hidden_size)
     f_tok = _timestep_embed(mp["freq_embedder"], freq, cfg.hidden_size)

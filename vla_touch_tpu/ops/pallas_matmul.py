@@ -154,10 +154,21 @@ def a8w8_matmul(x, w_i8, scale, bias=None, *, block_n: int = 1152,
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
 
-    # Weight blocks are double-buffered in VMEM; cap K*bn so two blocks +
-    # the resident activation/scratch fit (v5e ~16 MiB VMEM).  Without this
-    # the K=8192 fc2 shape fails to compile.
-    bn = min(block_n, N, max(128, _round_up((4 * 1024 * 1024) // K, 128)))
+    # VMEM budget (v5e ~16 MiB): resident bf16 activation (Mp*K*2) + int8
+    # scratch (Mp*K) + two double-buffered int8 weight blocks (2*K*bn) must
+    # fit with headroom for the f32 accumulator/output tiles.
+    budget = 12 * 1024 * 1024 - Mp * K * 3
+    bn_cap = budget // (2 * K)
+    if bn_cap < 128:
+        # resident activation alone blows VMEM at this (M, K) — this
+        # kernel targets the small-M serving regime; use XLA's int8 path.
+        from vla_touch_tpu.ops.quant import qdense
+
+        bias_qp = {"w_i8": w_i8, "scale": scale}
+        if bias is not None:
+            bias_qp["bias"] = bias
+        return qdense(x, bias_qp, out_dtype=out_dtype)
+    bn = min(block_n, N, max(128, (bn_cap // 128) * 128))
     grid = (_cdiv(N, bn),)
     s2 = scale.reshape(1, N).astype(jnp.float32)
     b2 = (bias.reshape(1, N).astype(jnp.float32) if bias is not None
@@ -188,6 +199,132 @@ def a8w8_matmul(x, w_i8, scale, bias=None, *, block_n: int = 1152,
     )(x2, w_i8, s2, b2)
 
     return out[:M].reshape(*lead, N)
+
+
+# ---- fused w4a8: in-kernel nibble unpack + grouped int8 MXU dots ------------
+#
+# Group-wise int4 weights (ops/quant.py::quantize_linear_w4 layout: planes of
+# nibbles, low plane = first half of the input rows) streamed from HBM at
+# 0.5 byte/param.  The unpack (two arithmetic shifts) happens in VMEM per
+# weight block — this is the op XLA cannot fuse into a dot (its int4 support
+# materializes the unpacked int8 tensor back to HBM), so Pallas is the only
+# way the 2x-under-int8 streaming bound is reachable.  Accumulation is int32
+# per input-group (the per-(group, out-channel) scale applies before the
+# cross-group sum), f32 across groups.
+
+
+def _w4a8_kernel(x_ref, wp_ref, s_ref, b_ref, o_ref, xi_scr, rs_scr,
+                 *, G: int, gs: int):
+    # x_ref (Mp, K) bf16 resident; wp_ref (K//2, bn) packed int8 streamed;
+    # s_ref (G, bn) f32; b_ref (1, bn) f32.
+    @pl.when(pl.program_id(0) == 0)
+    def _quantize_x():
+        xf = x_ref[...].astype(jnp.float32)
+        amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-8)
+        rs_scr[...] = jnp.broadcast_to(amax * (1.0 / 127.0), rs_scr.shape)
+        xi_scr[...] = jnp.clip(jnp.round(xf * (127.0 / amax)),
+                               -127, 127).astype(jnp.int8)
+
+    Mp = x_ref.shape[0]
+    bn = wp_ref.shape[1]
+    acc = jnp.zeros((Mp, bn), jnp.float32)
+    half = G // 2
+    for g in range(G):
+        # low-nibble plane holds original rows [0, K/2), high the rest
+        row = (g if g < half else g - half) * gs
+        wp = wp_ref[pl.ds(row, gs), :].astype(jnp.int32)
+        if g < half:
+            w_g = jnp.right_shift(jnp.left_shift(wp, 28), 28)
+        else:
+            w_g = jnp.right_shift(wp, 4)
+        part = jnp.dot(xi_scr[:, pl.ds(g * gs, gs)],
+                       w_g.astype(jnp.int8),
+                       preferred_element_type=jnp.int32)
+        acc = acc + part.astype(jnp.float32) * s_ref[g, :][None, :]
+    o_ref[...] = (acc * rs_scr[:, 0:1] + b_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "out_dtype",
+                                             "interpret"))
+def w4a8_matmul(x, w4_pack, scale4, bias=None, *, block_n: int = 512,
+                out_dtype=jnp.bfloat16, interpret: bool = False):
+    """``x (..., K) × int4-grouped w (K, N) → (..., N)``; weights stream
+    packed (two nibbles per byte).  Numerics identical to
+    :func:`vla_touch_tpu.ops.quant.qdense_w4`."""
+    *lead, K = x.shape
+    N = w4_pack.shape[1]
+    G = scale4.shape[0]
+    gs = K // G
+    assert w4_pack.shape[0] * 2 == K and K % G == 0, (x.shape, w4_pack.shape)
+    assert G % 2 == 0 and gs % 32 == 0 and N % 128 == 0, (G, gs, N)
+
+    M = 1
+    for d in lead:
+        M *= d
+    x2 = x.reshape(M, K).astype(jnp.bfloat16)
+    Mp = _round_up(max(M, 8), 32)
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+
+    budget = 12 * 1024 * 1024 - Mp * K * 3
+    bn_cap = budget // K          # two double-buffered (K/2, bn) int8 blocks
+    if bn_cap < 128:
+        from vla_touch_tpu.ops.quant import qdense_w4
+
+        qp = {"w4_pack": w4_pack, "scale4": scale4}
+        if bias is not None:
+            qp["bias"] = bias
+        return qdense_w4(x, qp, out_dtype=out_dtype)
+    bn = min(block_n, N, max(128, (bn_cap // 128) * 128))
+    grid = (_cdiv(N, bn),)
+    b2 = (bias.reshape(1, N).astype(jnp.float32) if bias is not None
+          else jnp.zeros((1, N), jnp.float32))
+
+    out = pl.pallas_call(
+        functools.partial(_w4a8_kernel, G=G, gs=gs),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Mp, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K // 2, bn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, bn), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Mp, K), jnp.int8),
+            pltpu.VMEM((Mp, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * K * 2 + K * N // 2 + Mp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, w4_pack, scale4.astype(jnp.float32), b2)
+
+    return out[:M].reshape(*lead, N)
+
+
+def qdense_pallas_w4(x, qp: dict, out_dtype=jnp.bfloat16, interpret=False):
+    """Layout-dispatching Pallas drop-in for
+    :func:`vla_touch_tpu.ops.quant.qdense_any`: grouped-int4 leaves hit the
+    w4a8 nibble-streaming kernel, int8 leaves the fused a8w8 kernel; large-M
+    (compute-bound precompute) calls fall back to XLA."""
+    M = 1
+    for d in x.shape[:-1]:
+        M *= d
+    if "w4_pack" not in qp:
+        return qdense_pallas_a8w8(x, qp, out_dtype=out_dtype,
+                                  interpret=interpret)
+    if M > 512:
+        from vla_touch_tpu.ops.quant import qdense_w4
+
+        return qdense_w4(x, qp, out_dtype=out_dtype)
+    return w4a8_matmul(x, qp["w4_pack"], qp["scale4"], qp.get("bias"),
+                       out_dtype=out_dtype, interpret=interpret)
 
 
 def qdense_pallas_a8w8(x, qp: dict, out_dtype=jnp.bfloat16, interpret=False):
