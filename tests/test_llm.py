@@ -187,3 +187,51 @@ def test_e2e_projection_lora_training(tmp_path):
     preds = RL.test_llm(st, iface, proj, ds, out, frame_size=32)
     assert len(preds) == 2 and all("prediction" in p for p in preds)
     assert iface.last_entropy is not None and iface.last_entropy.ndim == 1
+
+
+def test_merge_lora_equals_adapter_forward(params, rng):
+    """W + A@B*scale folded into the kernels == running with the adapter."""
+    lora = L.init_lora(CFG, jax.random.PRNGKey(3), rank=4)
+    # randomize B so the adapter actually does something
+    for lp in lora["layers"]:
+        for t in lp:
+            lp[t]["B"] = jnp.asarray(
+                rng.normal(size=lp[t]["B"].shape) * 0.05, jnp.float32)
+    e = jnp.asarray(rng.normal(size=(2, 5, CFG.hidden_size)), jnp.float32)
+    with_adapter = L.llm_forward(CFG, params, e, lora=lora)
+    merged = L.merge_lora(params, lora)
+    folded = L.llm_forward(CFG, merged, e)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(with_adapter),
+                               rtol=1e-4, atol=1e-4)
+    # base params untouched
+    assert params["layers"][0]["q"]["kernel"] is not \
+        merged["layers"][0]["q"]["kernel"]
+
+
+def test_quantized_llm_decode(params, rng):
+    """int8-quantized decoder: same surfaces, bounded drift; w4 runs too."""
+    qp8 = L.quantize_llm_params(params)
+    assert "w_i8" in qp8["layers"][0]["q"]
+    assert "w_i8" in qp8["layers"][1]["down"]
+    assert qp8["layers"][0]["input_norm"].ndim == 1          # passthrough
+    e = jnp.asarray(rng.normal(size=(1, 6, CFG.hidden_size)), jnp.float32)
+    h_ref = np.asarray(L.llm_forward(CFG, params, e))
+    h_q = np.asarray(L.llm_forward(CFG, qp8, e))
+    corr = np.corrcoef(h_ref.ravel(), h_q.ravel())[0, 1]
+    assert corr > 0.99, corr
+
+    toks, ents, _ = L.greedy_generate(CFG, qp8, e, max_new_tokens=6)
+    assert toks.shape == (1, 6) and np.isfinite(np.asarray(ents)).all()
+
+    qp4 = L.quantize_llm_params(params, weights="int4")
+    assert "w4_pack" in qp4["layers"][0]["gate"]
+    h4 = np.asarray(L.llm_forward(CFG, qp4, e))
+    assert np.isfinite(h4).all()
+    # QLoRA-style: full-precision adapter on the quantized base still applies
+    lora = L.init_lora(CFG, jax.random.PRNGKey(4), rank=2)
+    for lp in lora["layers"]:
+        for t in lp:
+            lp[t]["B"] = jnp.asarray(
+                rng.normal(size=lp[t]["B"].shape) * 0.1, jnp.float32)
+    h_q_lora = np.asarray(L.llm_forward(CFG, qp8, e, lora=lora))
+    assert np.abs(h_q_lora - h_q).max() > 1e-3

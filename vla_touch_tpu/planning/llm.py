@@ -180,12 +180,60 @@ def init_lora(cfg: LLMConfig, key, rank: int = 8, alpha: float = 16.0,
 
 
 def _dense(x, p, lora=None, scale=1.0):
-    y = x @ p["kernel"]
-    if "bias" in p:
-        y = y + p["bias"]
+    if "kernel" not in p:
+        # quantized leaf (int8 / grouped int4, see quantize_llm_params);
+        # the LoRA residual stays full-precision (QLoRA-style serving)
+        from vla_touch_tpu.ops.quant import qdense_any
+
+        y = qdense_any(x, p, out_dtype=x.dtype)
+    else:
+        y = x @ p["kernel"]
+        if "bias" in p:
+            y = y + p["bias"]
     if lora is not None:
         y = y + (x @ lora["A"]) @ lora["B"] * scale
     return y
+
+
+def merge_lora(params: dict, lora: dict) -> dict:
+    """Fold trained LoRA factors into the base kernels
+    (``W' = W + A @ B * scale`` — the PeftModel ``merge_and_unload``
+    analogue, reference llm.py:86-113).  Returns a new tree; the merged
+    model needs no adapter at serving time and can be quantized."""
+    scale = lora["scale"]
+    out = {k: v for k, v in params.items()}
+    layers = []
+    for lp, lol in zip(params["layers"], lora["layers"]):
+        nlp = {k: v for k, v in lp.items()}
+        for t, ab in (lol or {}).items():
+            d = dict(nlp[t])
+            d["kernel"] = (jnp.asarray(d["kernel"], jnp.float32)
+                           + ab["A"] @ ab["B"] * scale)
+            nlp[t] = d
+        layers.append(nlp)
+    out["layers"] = layers
+    return out
+
+
+def quantize_llm_params(params: dict, weights: str = "int8") -> dict:
+    """Serving-time weight quantization of every decoder matmul (q/k/v/o/
+    gate/up/down and the untied lm_head) through the shared quant engine
+    (``ops/quant.py``) — int8 per-channel or grouped int4.  Embeddings and
+    norms stay full precision (gather / tiny).  The quantized tree drops
+    into every forward/decode surface here unchanged: ``_dense`` dispatches
+    on the leaf layout.  Merge LoRA first (:func:`merge_lora`) or keep the
+    adapters separate — the residual is applied in full precision either
+    way."""
+    from vla_touch_tpu.ops.quant import quantize_tree, quantize_tree_w4
+
+    qt = quantize_tree_w4 if weights == "int4" else quantize_tree
+    if weights not in ("int8", "int4"):
+        raise ValueError(weights)
+    out = {k: v for k, v in params.items()}
+    out["layers"] = [qt(lp) for lp in params["layers"]]
+    if "lm_head" in params:
+        out["lm_head"] = qt(params["lm_head"])
+    return out
 
 
 # --------------------------------------------------------------------------
