@@ -143,8 +143,15 @@ def a8w8_matmul(x, w_i8, scale, bias=None, *, block_n: int = 1152,
     """
     *lead, K = x.shape
     N = w_i8.shape[1]
-    assert w_i8.shape[0] == K and K % 128 == 0 and N % 128 == 0, \
-        (x.shape, w_i8.shape)
+    assert w_i8.shape[0] == K, (x.shape, w_i8.shape)
+    if K % 128 or N % 128:
+        # kernel-unfriendly dims (tiny-config adaptors): XLA int8 path
+        from vla_touch_tpu.ops.quant import qdense
+
+        qp = {"w_i8": w_i8, "scale": scale}
+        if bias is not None:
+            qp["bias"] = bias
+        return qdense(x, qp, out_dtype=out_dtype)
 
     M = 1
     for d in lead:
@@ -319,7 +326,12 @@ def qdense_pallas_w4(x, qp: dict, out_dtype=jnp.bfloat16, interpret=False):
     if "w4_pack" not in qp:
         return qdense_pallas_a8w8(x, qp, out_dtype=out_dtype,
                                   interpret=interpret)
-    if M > 512:
+    K = x.shape[-1]
+    N = qp["w4_pack"].shape[1]
+    G = qp["scale4"].shape[0]
+    if M > 512 or (K // G) % 32 or N % 128:
+        # compute-bound precompute (large M) or kernel-unfriendly dims:
+        # the XLA grouped-dot path handles every valid w4 layout
         from vla_touch_tpu.ops.quant import qdense_w4
 
         return qdense_w4(x, qp, out_dtype=out_dtype)
