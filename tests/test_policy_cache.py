@@ -87,3 +87,58 @@ def test_wrapper_cache_hit_and_invalidation(rng):
 
     cached_model.reset()
     assert cached_model._token_cache is None
+
+
+def test_cached_warm_equals_warm(rng):
+    """The combined cached+warm dispatch == policy_step_warm exactly, and
+    degenerates to policy_step_cached at skip_steps ~ 0-equivalent prior."""
+    cfg = _cfg()
+    model = P.create_model(cfg, seed=0, cache_frames=False)
+    proprio = jnp.asarray(rng.normal(size=(1, 10)), jnp.float32)
+    frames = jnp.asarray(rng.integers(0, 255, (1, 6, 28, 28, 3)), jnp.uint8)
+    mask = jnp.ones((1, 6), bool)
+    text = jnp.asarray(rng.normal(size=(1, 4, TINY_RDT.lang_token_dim)),
+                       jnp.float32)
+    tmask = jnp.ones((1, 4), bool)
+    prior = jnp.asarray(rng.normal(size=(1, TINY_RDT.horizon, 10)) * 0.1,
+                        jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    warm = P.policy_step_warm(cfg, model.rdt_params, model.vision_params,
+                              key, proprio, frames, mask, text, tmask,
+                              prior, 1)
+    prev_tokens = P.encode_frames(cfg, model.vision_params, frames[:, :3],
+                                  mask[:, :3])
+    combo, cur = P.policy_step_cached_warm(
+        cfg, model.rdt_params, model.vision_params, key, proprio,
+        frames[:, 3:], mask[:, 3:], prev_tokens, text, tmask, prior, 1)
+    np.testing.assert_allclose(np.asarray(warm), np.asarray(combo),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_wrapper_warm_step(rng):
+    """RoboticDiffusionTransformerModel.step(prior_actions=..., skip_steps=)
+    routes through the combined dispatch and matches the functional path."""
+    cfg = _cfg()
+    base = P.create_model(cfg, seed=0, cache_frames=False)
+    # the DiT-convention zero-init final layer would make every chunk
+    # identically zero; randomize it so cold-vs-warm actually differ
+    base.rdt_params["model"]["final_ffn"]["fc2"]["kernel"] = jnp.asarray(
+        rng.normal(size=base.rdt_params["model"]["final_ffn"]["fc2"]
+                   ["kernel"].shape) * 0.05, jnp.float32)
+    model = P.RoboticDiffusionTransformerModel(
+        cfg, base.rdt_params, base.vision_params, cache_frames=True)
+    imgs = [np.asarray(rng.integers(0, 255, (28, 28, 3)), np.uint8)
+            for _ in range(6)]
+    proprio = rng.normal(size=(10,)).astype(np.float32)
+    text = rng.normal(size=(4, TINY_RDT.lang_token_dim)).astype(np.float32)
+    prior = rng.normal(size=(TINY_RDT.horizon, 10)).astype(np.float32) * 0.1
+
+    out_cold = model.step(proprio, imgs, text)
+    out_warm = model.step(proprio, imgs, text, prior_actions=prior,
+                          skip_steps=1)
+    assert out_cold.shape == out_warm.shape == (1, TINY_RDT.horizon, 10)
+    assert np.isfinite(out_warm).all()
+    # the warm path actually differs from the cold one (it starts from the
+    # re-noised prior, not pure noise)
+    assert np.abs(out_cold - out_warm).max() > 1e-6

@@ -202,6 +202,46 @@ def policy_step_cached(cfg: PolicyConfig, rdt_params, vision_params, key,
     return actions, cur
 
 
+@partial(jax.jit, static_argnames=("cfg", "skip_steps"))
+def policy_step_cached_warm(cfg: PolicyConfig, rdt_params, vision_params,
+                            key, proprio, new_images, new_image_mask,
+                            prev_tokens, text_embeds, text_mask,
+                            prior_actions, skip_steps: int):
+    """The steady-state replan: cached t-1 SigLIP tokens AND warm-started
+    denoising in one dispatch — every replan after the first combines both
+    savings (measured separately: ~21 ms vision cache, ~7 ms warm start at
+    skip 2 on v5e).  Same contracts as :func:`policy_step_cached` (returns
+    ``(actions, cur_tokens)``) and :func:`policy_step_warm`
+    (``prior_actions`` already shifted by the executed ticks, raw units)."""
+    m = cfg.rdt.model
+    B = proprio.shape[0]
+    dtype = m.compute_dtype
+    cur = _encode_frames(cfg, vision_params, new_images, new_image_mask,
+                         dtype)
+    img_tokens = jnp.concatenate([prev_tokens.astype(dtype), cur], axis=1)
+
+    scale = jnp.asarray(cfg.state_scale, jnp.float32)
+    low = proprio.astype(jnp.float32) / scale
+    idx = jnp.asarray(cfg.state_indices, jnp.int32)
+    state = jnp.zeros((B, m.state_token_dim), jnp.float32).at[:, idx].set(low)
+    mask = jnp.zeros((B, m.state_token_dim), jnp.float32).at[:, idx].set(1.0)
+
+    out_scale = jnp.asarray(
+        cfg.action_scale if cfg.action_scale is not None else cfg.state_scale,
+        jnp.float32)
+    prior128 = jnp.zeros((B, m.horizon, m.output_dim), jnp.float32)
+    prior128 = prior128.at[:, :, idx].set(
+        prior_actions.astype(jnp.float32) / out_scale)
+
+    chunk = R.rdt_predict_action_warm(
+        cfg.rdt, rdt_params, key,
+        text_embeds.astype(dtype), text_mask, img_tokens,
+        state[:, None, :].astype(dtype), mask[:, None, :],
+        jnp.full((B,), cfg.control_frequency, jnp.float32),
+        prior128, skip_steps)
+    return chunk[:, :, idx] * out_scale, cur
+
+
 def _frame_digest(frames: np.ndarray, mask: np.ndarray) -> int:
     """Cheap content digest of a (1, 3, S, S, 3) frame block + its mask,
     used to verify that the cached t-1 tokens match the incoming t-1 frames
@@ -246,8 +286,14 @@ class RoboticDiffusionTransformerModel:
         self._token_cache = None
 
     def step(self, proprio, images: Sequence, text_embeds,
-             text_mask=None) -> np.ndarray:
-        """images: list of 6 HxWx3 uint8 arrays or None (missing camera)."""
+             text_mask=None, prior_actions=None,
+             skip_steps: int = 0) -> np.ndarray:
+        """images: list of 6 HxWx3 uint8 arrays or None (missing camera).
+
+        ``prior_actions`` (horizon, D_low) + ``skip_steps`` > 0 warm-start
+        the replan from the previous chunk (already shifted by the executed
+        ticks); combined with the frame-token cache this is the steady-state
+        deployment dispatch."""
         cfg = self.cfg
         S = cfg.image_size
         frames = np.zeros((1, 6, S, S, 3), np.uint8)
@@ -271,6 +317,10 @@ class RoboticDiffusionTransformerModel:
         args = (jnp.asarray(proprio), jnp.asarray(text_embeds),
                 jnp.asarray(text_mask))
 
+        warm = prior_actions is not None and skip_steps > 0
+        if warm:
+            prior = jnp.asarray(np.asarray(prior_actions, np.float32)
+                                .reshape(1, -1, len(cfg.state_indices)))
         if self.cache_frames:
             prev_digest = _frame_digest(frames[:, :3], mask[:, :3])
             if self._token_cache is not None \
@@ -280,12 +330,23 @@ class RoboticDiffusionTransformerModel:
                 prev_tokens = encode_frames(
                     cfg, self.vision_params, jnp.asarray(frames[:, :3]),
                     jnp.asarray(mask[:, :3]))
-            out, cur_tokens = policy_step_cached(
-                cfg, self.rdt_params, self.vision_params, k, args[0],
-                jnp.asarray(frames[:, 3:]), jnp.asarray(mask[:, 3:]),
-                prev_tokens, args[1], args[2])
+            if warm:
+                out, cur_tokens = policy_step_cached_warm(
+                    cfg, self.rdt_params, self.vision_params, k, args[0],
+                    jnp.asarray(frames[:, 3:]), jnp.asarray(mask[:, 3:]),
+                    prev_tokens, args[1], args[2], prior, skip_steps)
+            else:
+                out, cur_tokens = policy_step_cached(
+                    cfg, self.rdt_params, self.vision_params, k, args[0],
+                    jnp.asarray(frames[:, 3:]), jnp.asarray(mask[:, 3:]),
+                    prev_tokens, args[1], args[2])
             self._token_cache = (_frame_digest(frames[:, 3:], mask[:, 3:]),
                                  cur_tokens)
+        elif warm:
+            out = policy_step_warm(cfg, self.rdt_params, self.vision_params,
+                                   k, args[0], jnp.asarray(frames),
+                                   jnp.asarray(mask), args[1], args[2],
+                                   prior, skip_steps)
         else:
             out = policy_step(cfg, self.rdt_params, self.vision_params, k,
                               args[0], jnp.asarray(frames), jnp.asarray(mask),
