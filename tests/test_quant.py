@@ -374,3 +374,48 @@ def test_quantized_predict_action_int4_pallas(rng):
     # activation handling inside the kernel
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_quantized_warm_replan_matches_float_warm(rng):
+    """The int8 warm-start replan tracks the float warm path (same renoise +
+    solver-tail semantics; only int8 rounding differs)."""
+    params = R.init_rdt(RCFG, jax.random.PRNGKey(0))
+    params["model"]["final_ffn"]["fc2"] = {
+        "kernel": jnp.asarray(rng.normal(
+            size=params["model"]["final_ffn"]["fc2"]["kernel"].shape) * 0.05,
+            jnp.float32),
+        "bias": params["model"]["final_ffn"]["fc2"]["bias"],
+    }
+    qparams = Q.quantize_rdt_params(params)
+
+    m = TINY
+    B, Ll = 1, 7
+    lang = jnp.asarray(rng.normal(size=(B, Ll, m.lang_token_dim)), jnp.float32)
+    lang_mask = jnp.ones((B, Ll), bool)
+    img = jnp.asarray(rng.normal(size=(B, m.img_cond_len, m.img_token_dim)),
+                      jnp.float32)
+    state = jnp.asarray(rng.normal(size=(B, 1, m.state_token_dim)),
+                        jnp.float32)
+    amask = jnp.ones((B, 1, m.output_dim), jnp.float32)
+    freqs = jnp.asarray([10.0])
+    prior = jnp.asarray(rng.normal(size=(B, m.horizon, m.output_dim)) * 0.3,
+                        jnp.float32)
+
+    ref = R.rdt_predict_action(RCFG, params, jax.random.PRNGKey(1), lang,
+                               lang_mask, img, state, amask, freqs,
+                               prior_chunk=prior, skip_steps=1)
+    got = Q.rdt_predict_action_quant(RCFG, qparams, jax.random.PRNGKey(1),
+                                     lang, lang_mask, img, state, amask,
+                                     freqs, prior_chunk=prior, skip_steps=1)
+    ref_n, got_n = np.asarray(ref), np.asarray(got)
+    corr = np.corrcoef(ref_n.ravel(), got_n.ravel())[0, 1]
+    assert corr > 0.99, corr
+    # degenerate skip=0 == the plain quant path exactly
+    cold = Q.rdt_predict_action_quant(RCFG, qparams, jax.random.PRNGKey(1),
+                                      lang, lang_mask, img, state, amask,
+                                      freqs)
+    warm0 = Q.rdt_predict_action_quant(RCFG, qparams, jax.random.PRNGKey(1),
+                                       lang, lang_mask, img, state, amask,
+                                       freqs, prior_chunk=prior,
+                                       skip_steps=0)
+    np.testing.assert_array_equal(np.asarray(cold), np.asarray(warm0))

@@ -219,22 +219,28 @@ def forward_cached_quant(mp: dict, cfg: RDTModelConfig, x, freq, t, cond_kv,
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_inference_timesteps",
-                                   "kv_cache", "matmul"))
+                                   "kv_cache", "matmul", "skip_steps"))
 def rdt_predict_action_quant(cfg: R.RDTRunnerConfig, qparams, key,
                              lang_tokens, lang_mask, img_tokens, state_tokens,
                              action_mask, ctrl_freqs,
                              num_inference_timesteps: Optional[int] = None,
-                             kv_cache: str = "bf16", matmul: str = "xla"):
+                             kv_cache: str = "bf16", matmul: str = "xla",
+                             prior_chunk=None, skip_steps: int = 0):
     """Int8 serving twin of :func:`rdt_predict_action` (same signature with a
     quantized parameter tree from :func:`quantize_rdt_params`).
 
     ``kv_cache='int8'`` also quantizes the per-block condition KV cache and
     serves cross-attention through the int8-KV Pallas flash kernel;
     ``matmul='pallas'`` runs every quantized matmul through the fused a8w8
-    Pallas kernel instead of XLA's int8 lowering."""
+    Pallas kernel instead of XLA's int8 lowering.  ``prior_chunk`` +
+    ``skip_steps`` > 0 warm-start the replan exactly as in
+    :func:`rdt_predict_action` (re-noise the shifted previous chunk to the
+    solver-tail level)."""
     m = cfg.model
     qd = _qdense_impl(matmul)
     steps = num_inference_timesteps or cfg.noise.num_inference_timesteps
+    if not 0 <= skip_steps < steps:
+        raise ValueError(f"skip_steps {skip_steps} not in [0, {steps})")
     noise_sched = sched_lib.DiffusionSchedule.create(
         cfg.noise.num_train_timesteps, cfg.noise.beta_schedule)
     B = state_tokens.shape[0]
@@ -259,8 +265,14 @@ def rdt_predict_action_quant(cfg: R.RDTRunnerConfig, qparams, key,
                                    lang_mask, qd=qd)
         return out.astype(jnp.float32)
 
-    noisy = jax.random.normal(key, (B, m.horizon, m.output_dim), jnp.float32)
+    noise = jax.random.normal(key, (B, m.horizon, m.output_dim), jnp.float32)
+    if skip_steps == 0:
+        x_init = noise
+    else:
+        x_init = sched_lib.dpm_renoise(
+            jnp.asarray(prior_chunk, jnp.float32), noise, noise_sched,
+            steps, skip_steps)
     action = sched_lib.sample_dpm_solver(
-        model_fn, noisy, noise_sched, steps,
-        prediction_type=cfg.noise.prediction_type)
+        model_fn, x_init, noise_sched, steps,
+        prediction_type=cfg.noise.prediction_type, start_index=skip_steps)
     return action * mask_h
