@@ -419,3 +419,40 @@ def test_quantized_warm_replan_matches_float_warm(rng):
                                        freqs, prior_chunk=prior,
                                        skip_steps=0)
     np.testing.assert_array_equal(np.asarray(cold), np.asarray(warm0))
+
+
+def test_kv_proj_int8_option(rng):
+    """kv_proj='int8' quantizes the cross-attn kv projections too; the
+    chunk stays near the bf16-kv quant path (only KV rounding differs)."""
+    params = R.init_rdt(RCFG, jax.random.PRNGKey(0))
+    params["model"]["final_ffn"]["fc2"] = {
+        "kernel": jnp.asarray(rng.normal(
+            size=params["model"]["final_ffn"]["fc2"]["kernel"].shape) * 0.05,
+            jnp.float32),
+        "bias": params["model"]["final_ffn"]["fc2"]["bias"],
+    }
+    q_bf = Q.quantize_rdt_params(params)
+    q_i8 = Q.quantize_rdt_params(params, kv_proj="int8")
+    for i in range(TINY.depth):
+        assert "w_i8" in q_i8["model"][f"block{i}"]["cross_attn"]["kv"]
+    # int4 weights + int8 kv: kv must be int8, not w4
+    q_4 = Q.quantize_rdt_params(params, weights="int4", kv_proj="int8")
+    assert "w_i8" in q_4["model"]["block0"]["cross_attn"]["kv"]
+    assert "w4_pack" not in q_4["model"]["block0"]["cross_attn"]["kv"]
+
+    m = TINY
+    B, Ll = 1, 7
+    lang = jnp.asarray(rng.normal(size=(B, Ll, m.lang_token_dim)), jnp.float32)
+    lang_mask = jnp.ones((B, Ll), bool)
+    img = jnp.asarray(rng.normal(size=(B, m.img_cond_len, m.img_token_dim)),
+                      jnp.float32)
+    state = jnp.asarray(rng.normal(size=(B, 1, m.state_token_dim)),
+                        jnp.float32)
+    amask = jnp.ones((B, 1, m.output_dim), jnp.float32)
+    freqs = jnp.asarray([10.0])
+    a = Q.rdt_predict_action_quant(RCFG, q_bf, jax.random.PRNGKey(1), lang,
+                                   lang_mask, img, state, amask, freqs)
+    b = Q.rdt_predict_action_quant(RCFG, q_i8, jax.random.PRNGKey(1), lang,
+                                   lang_mask, img, state, amask, freqs)
+    corr = np.corrcoef(np.asarray(a).ravel(), np.asarray(b).ravel())[0, 1]
+    assert corr > 0.995, corr

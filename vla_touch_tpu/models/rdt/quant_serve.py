@@ -32,18 +32,24 @@ from vla_touch_tpu.ops.quant import (
     qdense, qdense_any, quantize_linear, quantize_tree, quantize_tree_w4)
 
 
-def quantize_rdt_params(params: dict, weights: str = "int8") -> dict:
+def quantize_rdt_params(params: dict, weights: str = "int8",
+                        kv_proj: str = "bf16") -> dict:
     """Quantize every 2-D Dense in the runner tree except:
 
     - the tiny timestep embedders (1-token inputs; scales matter for
       t-conditioning);
-    - the cross-attention KV projections, which run ONCE per chunk on the
-      long condition sequences and are COMPUTE-bound there (46 GFLOP each on
-      4374 img tokens): int8 measured zero speedup on them (xprof: 0.39 ms
-      either way — the narrow-N int8 emitter doesn't reach the MXU's 2x
-      int8 rate) so they stay bf16 and contribute no quantization error.
-      (A single wide stacked KV matmul was also tried and measured *slower*
-      — XLA tiles N=64512 at ~40% MXU vs ~60% for the narrow ops.)
+    - the cross-attention KV projections (default ``kv_proj='bf16'``),
+      which run ONCE per chunk on the long condition sequences and are
+      COMPUTE-bound there.  At the 1152-hidden config int8 measured zero
+      speedup on them (xprof: 0.39 ms either way); at the real RDT-1B
+      2048-hidden config the shape is 4374 x 2048 x 4096 and int8 measures
+      0.86 vs 1.02 ms bf16 (~17% — neither XLA nor a tiled Pallas int8
+      kernel gets past ~86 TFLOP/s effective on v5e, far from the nominal
+      2x int8 rate), so ``kv_proj='int8'`` is a measured ~2 ms cut to the
+      fixed cond-cache cost at ~1% extra KV error — opt-in behind the same
+      bench parity gate.  (A single wide stacked KV matmul was also tried
+      and measured *slower* — XLA tiles N=64512 at ~40% MXU vs ~60% for
+      the narrow ops.)
 
     The denoise-loop matmuls (28 blocks x qkv/proj/q/proj/fc1/fc2, read
     every step) are the weight-streaming-bound part and get a8w8 int8.
@@ -67,16 +73,21 @@ def quantize_rdt_params(params: dict, weights: str = "int8") -> dict:
         assert weights == "int8", weights
         q = quantize_tree(params, should)
 
-    def cast_kv(node, path=()):
+    def conv_kv(node, path=()):
         if isinstance(node, dict):
             if len(path) >= 2 and path[-2] == "cross_attn" and \
                     path[-1] == "kv" and "kernel" in node:
+                if kv_proj == "int8":
+                    # never w4 here: kv runs once (compute-bound), so int4
+                    # buys no time and int8 already costs ~1% KV error
+                    return quantize_linear(node)
                 return {"kernel": jnp.asarray(node["kernel"], jnp.bfloat16),
                         "bias": jnp.asarray(node["bias"], jnp.float32)}
-            return {k: cast_kv(v, path + (k,)) for k, v in node.items()}
+            return {k: conv_kv(v, path + (k,)) for k, v in node.items()}
         return node
 
-    return cast_kv(q)
+    assert kv_proj in ("bf16", "int8"), kv_proj
+    return conv_kv(q)
 
 
 def _rmsnorm(x, w, eps=1e-6):
