@@ -114,6 +114,24 @@ def main():
                                     cam2_feat=cam2, forces=forces)
         return refined
 
+    # Steady-state replan: the deployment loop replans every 16 executed
+    # ticks, warm-starting the solver from the previous chunk shifted by
+    # those ticks (partial denoising, skip 2 of 5 steps).  Chained the same
+    # way — each tick consumes the previous refined state AND feeds its own
+    # chunk forward as the next prior.
+    @jax.jit
+    def pipeline_q8_warm(qp, b_params, ema_shadow, key, state10_in, prior128):
+        k1, k2 = jax.random.split(key)
+        chunk128 = Q.rdt_predict_action_quant(
+            rcfg, qp, k1, lang, lang_mask, img, state128, amask, freqs,
+            prior_chunk=prior128, skip_steps=2)
+        vla10 = chunk128[:, : bcfg.horizon, 30:40].astype(jnp.float32)
+        refined = BR.bridge_predict(bcfg, b_params, ema_shadow, stats,
+                                    k2, state10_in, vla10, cam1_feat=cam1,
+                                    cam2_feat=cam2, forces=forces)
+        next_prior = jnp.roll(chunk128, -16, axis=1)
+        return refined, next_prior
+
     # The deployment control loop is device-resident (HBM conditioning
     # buffers, scan-compiled samplers); the host only reads tiny action
     # outputs.  The benchmark measures steady-state per-chunk latency by
@@ -142,6 +160,27 @@ def main():
     p50_bf16 = measure(pipeline, params)
     p50_q8 = measure(pipeline_q8, qparams)
 
+    def measure_warm():
+        prior0 = jnp.zeros((B, m.horizon, m.output_dim), jnp.float32)
+        out, _ = pipeline_q8_warm(qparams, bst.params, bst.ema.shadow,
+                                  jax.random.PRNGKey(0), state10, prior0)
+        np.asarray(out)  # compile + warm
+        ITERS = 10
+        lat = []
+        for i in range(8):
+            t0 = time.perf_counter()
+            s, prior = state10, prior0
+            for j in range(ITERS):
+                refined, prior = pipeline_q8_warm(
+                    qparams, bst.params, bst.ema.shadow,
+                    jax.random.PRNGKey(i * ITERS + j), s, prior)
+                s = refined[:, 0, :]
+            np.asarray(refined)
+            lat.append((time.perf_counter() - t0) * 1e3 / ITERS)
+        return float(np.percentile(lat, 50))
+
+    p50_q8_warm = measure_warm()
+
     # Serving-parity gate for the int8 path: the refined chunk must stay
     # directionally identical to the bf16 pipeline (the <1e-3 cross-
     # framework parity itself is asserted at f32 in test_golden_parity.py).
@@ -166,6 +205,10 @@ def main():
         "bf16_ms": round(p50_bf16, 2),
         "int8_ms": round(p50_q8, 2),
         "int8_chunk_corr_vs_bf16": round(corr, 5),
+        # steady-state deployment replan (warm start from the previous
+        # chunk, skip 2 of 5 solver steps) — a different operating point,
+        # reported alongside the cold-chunk headline
+        "int8_warm2_ms": round(p50_q8_warm, 2),
     }))
 
 
