@@ -129,7 +129,12 @@ def main():
         refined = BR.bridge_predict(bcfg, b_params, ema_shadow, stats,
                                     k2, state10_in, vla10, cam1_feat=cam1,
                                     cam2_feat=cam2, forces=forces)
-        next_prior = jnp.roll(chunk128, -16, axis=1)
+        # shift by the 16 executed ticks and hold the last action — the
+        # control loop's prior semantics (runtime/control_loop.py tick());
+        # a roll would wrap stale start-of-chunk actions onto the tail
+        next_prior = jnp.concatenate(
+            [chunk128[:, 16:], jnp.repeat(chunk128[:, -1:], 16, axis=1)],
+            axis=1)
         return refined, next_prior
 
     # The deployment control loop is device-resident (HBM conditioning

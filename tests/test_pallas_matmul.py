@@ -76,3 +76,40 @@ def test_w8a16_weight_only_error_smaller_than_a8w8(rng):
     err16 = np.abs(got16 - exact).max()
     err8 = np.abs(got8 - exact).max()
     assert err16 <= err8 * 1.5 + 1e-6, (err16, err8)
+
+
+def test_a8w8_matmul_large_matches_qdense(rng):
+    """The large-M tiled kernel == the XLA int8 path (same integers)."""
+    from vla_touch_tpu.ops.pallas_matmul import a8w8_matmul_large
+    from vla_touch_tpu.ops.quant import qdense, quantize_linear
+
+    K, N, M = 256, 512, 300
+    p = {"kernel": jnp.asarray(rng.normal(size=(K, N)) * 0.05, jnp.float32),
+         "bias": jnp.asarray(rng.normal(size=(N,)) * 0.01, jnp.float32)}
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    qp = quantize_linear(p)
+    want = qdense(x, qp, out_dtype=jnp.float32)
+    got = a8w8_matmul_large(x, qp["w_i8"], qp["scale"], qp["bias"],
+                            block_m=128, block_n=256, out_dtype=jnp.float32,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_qdense_w4_large_m_dequant_path(rng):
+    """Large-M w4 calls dequantize to bf16 (no (G, M, N) intermediate, no
+    activation-quant error) and stay close to the small-M grouped-int path."""
+    from vla_touch_tpu.ops.quant import quantize_linear_w4, qdense_w4
+
+    K, N = 256, 128
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.1
+    b = rng.normal(size=(N,)).astype(np.float32) * 0.01
+    qp = quantize_linear_w4({"kernel": w, "bias": b})
+    x_small = jnp.asarray(rng.normal(size=(16, K)), jnp.float32)
+    x_big = jnp.concatenate([x_small] * 64, axis=0)          # M=1024 > 512
+    y_small = np.asarray(qdense_w4(x_small, qp, out_dtype=jnp.float32))
+    y_big = np.asarray(qdense_w4(x_big, qp, out_dtype=jnp.float32))[:16]
+    # both approximate the same dequantized-weight product; they differ only
+    # by the small path's activation quantization
+    rel = np.linalg.norm(y_big - y_small) / np.linalg.norm(y_small)
+    assert rel < 0.05, rel

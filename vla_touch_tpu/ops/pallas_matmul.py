@@ -34,6 +34,24 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _xla_int8_fallback(x, w_i8, scale, bias, out_dtype):
+    from vla_touch_tpu.ops.quant import qdense
+
+    qp = {"w_i8": w_i8, "scale": scale}
+    if bias is not None:
+        qp["bias"] = bias
+    return qdense(x, qp, out_dtype=out_dtype)
+
+
+def _xla_w4_fallback(x, w4_pack, scale4, bias, out_dtype):
+    from vla_touch_tpu.ops.quant import qdense_w4
+
+    qp = {"w4_pack": w4_pack, "scale4": scale4}
+    if bias is not None:
+        qp["bias"] = bias
+    return qdense_w4(x, qp, out_dtype=out_dtype)
+
+
 def _round_up(x: int, m: int) -> int:
     return _cdiv(x, m) * m
 
@@ -146,12 +164,7 @@ def a8w8_matmul(x, w_i8, scale, bias=None, *, block_n: int = 1152,
     assert w_i8.shape[0] == K, (x.shape, w_i8.shape)
     if K % 128 or N % 128:
         # kernel-unfriendly dims (tiny-config adaptors): XLA int8 path
-        from vla_touch_tpu.ops.quant import qdense
-
-        qp = {"w_i8": w_i8, "scale": scale}
-        if bias is not None:
-            qp["bias"] = bias
-        return qdense(x, qp, out_dtype=out_dtype)
+        return _xla_int8_fallback(x, w_i8, scale, bias, out_dtype)
 
     M = 1
     for d in lead:
@@ -169,12 +182,7 @@ def a8w8_matmul(x, w_i8, scale, bias=None, *, block_n: int = 1152,
     if bn_cap < 128:
         # resident activation alone blows VMEM at this (M, K) — this
         # kernel targets the small-M serving regime; use XLA's int8 path.
-        from vla_touch_tpu.ops.quant import qdense
-
-        bias_qp = {"w_i8": w_i8, "scale": scale}
-        if bias is not None:
-            bias_qp["bias"] = bias
-        return qdense(x, bias_qp, out_dtype=out_dtype)
+        return _xla_int8_fallback(x, w_i8, scale, bias, out_dtype)
     bn = min(block_n, N, max(128, (bn_cap // 128) * 128))
     grid = (_cdiv(N, bn),)
     s2 = scale.reshape(1, N).astype(jnp.float32)
@@ -204,6 +212,85 @@ def a8w8_matmul(x, w_i8, scale, bias=None, *, block_n: int = 1152,
         ),
         interpret=interpret,
     )(x2, w_i8, s2, b2)
+
+    return out[:M].reshape(*lead, N)
+
+
+# ---- large-M tiled a8w8: the compute-bound int8 matmul ----------------------
+#
+# The serving path's FIXED cost is dominated by the 14 image-condition KV
+# projections — (4374, 2048) x (2048, 4096) — which run at ~95% of the bf16
+# MXU rate under XLA, so the only remaining 2x is the int8 MXU rate (v5e:
+# 394 TOPS int8 vs 197 TFLOPS bf16), which XLA's int8 emitter does not reach
+# at these shapes (measured 0.39 ms int8 == bf16).  This kernel is a plain
+# tiled int8 matmul (per-token dynamic activation scales computed outside,
+# per-channel weight scales) aiming for the native int8 rate.
+
+
+def _i8mm_kernel(x_ref, w_ref, sx_ref, sw_ref, b_ref, o_ref):
+    # x_ref (bm, K) int8; w_ref (K, bn) int8; sx_ref (bm, 1) f32 per-token;
+    # sw_ref/b_ref (1, bn) f32.
+    acc = jnp.dot(x_ref[...], w_ref[...], preferred_element_type=jnp.int32)
+    o_ref[...] = (acc.astype(jnp.float32) * sx_ref[...] * sw_ref[...]
+                  + b_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n",
+                                             "out_dtype", "interpret"))
+def a8w8_matmul_large(x, w_i8, scale, bias=None, *, block_m: int = 512,
+                      block_n: int = 512, out_dtype=jnp.bfloat16,
+                      interpret: bool = False):
+    """``x (..., K) x w_i8 (K, N) -> (..., N)`` for the compute-bound
+    large-M regime (the resident-activation kernels above target small M).
+    Numerics identical to :func:`vla_touch_tpu.ops.quant.qdense`."""
+    *lead, K = x.shape
+    N = w_i8.shape[1]
+    assert w_i8.shape[0] == K and K % 128 == 0 and N % block_n == 0, \
+        (x.shape, w_i8.shape, block_n)
+
+    M = 1
+    for d in lead:
+        M *= d
+    xf = x.reshape(M, K).astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8)
+    x_i8 = jnp.clip(jnp.round(xf * (127.0 / amax)), -127, 127).astype(jnp.int8)
+    sx = (amax * (1.0 / 127.0)).astype(jnp.float32)            # (M, 1)
+    Mp = _round_up(max(M, 8), block_m)
+    if Mp != M:
+        x_i8 = jnp.pad(x_i8, ((0, Mp - M), (0, 0)))
+        sx = jnp.pad(sx, ((0, Mp - M), (0, 0)))
+
+    bm, bn = block_m, block_n
+    grid = (Mp // bm, N // bn)
+    s2 = scale.reshape(1, N).astype(jnp.float32)
+    b2 = (bias.reshape(1, N).astype(jnp.float32) if bias is not None
+          else jnp.zeros((1, N), jnp.float32))
+
+    out = pl.pallas_call(
+        _i8mm_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * K + K * N + Mp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_i8, w_i8, sx, s2, b2)
 
     return out[:M].reshape(*lead, N)
 
@@ -276,12 +363,7 @@ def w4a8_matmul(x, w4_pack, scale4, bias=None, *, block_n: int = 512,
     budget = 12 * 1024 * 1024 - Mp * K * 3
     bn_cap = budget // K          # two double-buffered (K/2, bn) int8 blocks
     if bn_cap < 128:
-        from vla_touch_tpu.ops.quant import qdense_w4
-
-        qp = {"w4_pack": w4_pack, "scale4": scale4}
-        if bias is not None:
-            qp["bias"] = bias
-        return qdense_w4(x, qp, out_dtype=out_dtype)
+        return _xla_w4_fallback(x, w4_pack, scale4, bias, out_dtype)
     bn = min(block_n, N, max(128, (bn_cap // 128) * 128))
     grid = (_cdiv(N, bn),)
     b2 = (bias.reshape(1, N).astype(jnp.float32) if bias is not None

@@ -115,9 +115,13 @@ def qdense_w4(x, qp: dict, out_dtype=jnp.bfloat16):
     scale must be applied before the cross-group sum).
 
     XLA path: one batched ``dot_general`` over the group axis; the (G, M, N)
-    f32 intermediate is tiny at serving M.  The Pallas twin
-    (:func:`vla_touch_tpu.ops.pallas_matmul.qdense_pallas_w4a8`) unpacks the
-    nibbles in-kernel so HBM weight reads are truly 0.5 byte/param.
+    intermediate is tiny at serving M.  Large-M calls (the compute-bound
+    condition precompute, where that intermediate would be hundreds of MB)
+    dequantize the weight once to bf16 (a few MB) and run a plain matmul
+    instead — strictly better numerics there (no activation quant).  The
+    Pallas twin (:func:`vla_touch_tpu.ops.pallas_matmul.qdense_pallas_w4`)
+    unpacks the nibbles in-kernel so streamed HBM weight reads are truly
+    0.5 byte/param.
     """
     *lead, K = x.shape
     G = qp["scale4"].shape[0]
@@ -125,6 +129,15 @@ def qdense_w4(x, qp: dict, out_dtype=jnp.bfloat16):
     M = 1
     for d in lead:
         M *= d
+    if M > 512:
+        w = unpack_w4(qp["w4_pack"], K).astype(jnp.float32)
+        w = (w.reshape(G, gs, -1) * qp["scale4"][:, None, :]).reshape(K, -1)
+        y = jnp.dot(x.reshape(M, K).astype(jnp.bfloat16),
+                    w.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        if "bias" in qp:
+            y = y + qp["bias"]
+        return y.astype(out_dtype).reshape(*lead, -1)
     xf = x.reshape(M, K).astype(jnp.float32)
     amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8)
     x_i8 = jnp.clip(jnp.round(xf * (127.0 / amax)), -127, 127).astype(jnp.int8)

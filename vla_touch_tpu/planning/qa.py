@@ -180,6 +180,9 @@ def generate_physiclear_description_ranking_qa(
         objects_dict = {}
         for i, (obj, idx) in enumerate(zip(picked, indices)):
             n_parts = int(rng.integers(1, 3)) if use_parts else 1
+            # extra parts come from the pool minus the object; cap the group
+            # at what the pool can supply (a 1-object split must not crash)
+            n_parts = min(n_parts, len(pool))
             if n_parts == 1:
                 tactile.append(_sample_path(samples, obj, rng))
                 objects_dict[f"Object {idx}"] = obj

@@ -89,8 +89,11 @@ def _encode_frames(cfg: PolicyConfig, vision_params, images, image_mask,
 
 
 def _predict_from_tokens(cfg: PolicyConfig, rdt_params, key, proprio,
-                         img_tokens, text_embeds, text_mask):
-    """State pack + denoise + unpack (traced)."""
+                         img_tokens, text_embeds, text_mask,
+                         prior_actions=None, skip_steps: int = 0):
+    """State pack + denoise + unpack (traced).  ``prior_actions`` (raw
+    units, already shifted by the executed ticks) + ``skip_steps`` > 0
+    warm-start the solver tail instead of pure noise."""
     m = cfg.rdt.model
     B = proprio.shape[0]
     dtype = m.compute_dtype
@@ -101,15 +104,22 @@ def _predict_from_tokens(cfg: PolicyConfig, rdt_params, key, proprio,
     state = jnp.zeros((B, m.state_token_dim), jnp.float32).at[:, idx].set(low)
     mask = jnp.zeros((B, m.state_token_dim), jnp.float32).at[:, idx].set(1.0)
 
+    out_scale = jnp.asarray(
+        cfg.action_scale if cfg.action_scale is not None else cfg.state_scale,
+        jnp.float32)
+    prior128 = None
+    if prior_actions is not None and skip_steps > 0:
+        prior128 = jnp.zeros((B, m.horizon, m.output_dim), jnp.float32)
+        prior128 = prior128.at[:, :, idx].set(
+            prior_actions.astype(jnp.float32) / out_scale)
+
     chunk = R.rdt_predict_action(
         cfg.rdt, rdt_params, key,
         text_embeds.astype(dtype), text_mask, img_tokens.astype(dtype),
         state[:, None, :].astype(dtype), mask[:, None, :],
-        jnp.full((B,), cfg.control_frequency, jnp.float32))
+        jnp.full((B,), cfg.control_frequency, jnp.float32),
+        prior_chunk=prior128, skip_steps=skip_steps)
 
-    out_scale = jnp.asarray(
-        cfg.action_scale if cfg.action_scale is not None else cfg.state_scale,
-        jnp.float32)
     return chunk[:, :, idx] * out_scale
 
 
@@ -122,32 +132,12 @@ def policy_step_warm(cfg: PolicyConfig, rdt_params, vision_params, key,
     seeds the solver at step ``skip_steps`` instead of pure noise
     (Falcon-style warm start; the reference restarts from scratch every
     replan, ``rdt_runner.py:138``)."""
-    m = cfg.rdt.model
-    B = proprio.shape[0]
-    dtype = m.compute_dtype
     img_tokens = _encode_frames(cfg, vision_params, images, image_mask,
-                                dtype)
-
-    scale = jnp.asarray(cfg.state_scale, jnp.float32)
-    low = proprio.astype(jnp.float32) / scale
-    idx = jnp.asarray(cfg.state_indices, jnp.int32)
-    state = jnp.zeros((B, m.state_token_dim), jnp.float32).at[:, idx].set(low)
-    mask = jnp.zeros((B, m.state_token_dim), jnp.float32).at[:, idx].set(1.0)
-
-    out_scale = jnp.asarray(
-        cfg.action_scale if cfg.action_scale is not None else cfg.state_scale,
-        jnp.float32)
-    prior128 = jnp.zeros((B, m.horizon, m.output_dim), jnp.float32)
-    prior128 = prior128.at[:, :, idx].set(
-        prior_actions.astype(jnp.float32) / out_scale)
-
-    chunk = R.rdt_predict_action_warm(
-        cfg.rdt, rdt_params, key,
-        text_embeds.astype(dtype), text_mask, img_tokens.astype(dtype),
-        state[:, None, :].astype(dtype), mask[:, None, :],
-        jnp.full((B,), cfg.control_frequency, jnp.float32),
-        prior128, skip_steps)
-    return chunk[:, :, idx] * out_scale
+                                cfg.rdt.model.compute_dtype)
+    return _predict_from_tokens(cfg, rdt_params, key, proprio, img_tokens,
+                                text_embeds, text_mask,
+                                prior_actions=prior_actions,
+                                skip_steps=skip_steps)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -213,33 +203,15 @@ def policy_step_cached_warm(cfg: PolicyConfig, rdt_params, vision_params,
     skip 2 on v5e).  Same contracts as :func:`policy_step_cached` (returns
     ``(actions, cur_tokens)``) and :func:`policy_step_warm`
     (``prior_actions`` already shifted by the executed ticks, raw units)."""
-    m = cfg.rdt.model
-    B = proprio.shape[0]
-    dtype = m.compute_dtype
+    dtype = cfg.rdt.model.compute_dtype
     cur = _encode_frames(cfg, vision_params, new_images, new_image_mask,
                          dtype)
     img_tokens = jnp.concatenate([prev_tokens.astype(dtype), cur], axis=1)
-
-    scale = jnp.asarray(cfg.state_scale, jnp.float32)
-    low = proprio.astype(jnp.float32) / scale
-    idx = jnp.asarray(cfg.state_indices, jnp.int32)
-    state = jnp.zeros((B, m.state_token_dim), jnp.float32).at[:, idx].set(low)
-    mask = jnp.zeros((B, m.state_token_dim), jnp.float32).at[:, idx].set(1.0)
-
-    out_scale = jnp.asarray(
-        cfg.action_scale if cfg.action_scale is not None else cfg.state_scale,
-        jnp.float32)
-    prior128 = jnp.zeros((B, m.horizon, m.output_dim), jnp.float32)
-    prior128 = prior128.at[:, :, idx].set(
-        prior_actions.astype(jnp.float32) / out_scale)
-
-    chunk = R.rdt_predict_action_warm(
-        cfg.rdt, rdt_params, key,
-        text_embeds.astype(dtype), text_mask, img_tokens,
-        state[:, None, :].astype(dtype), mask[:, None, :],
-        jnp.full((B,), cfg.control_frequency, jnp.float32),
-        prior128, skip_steps)
-    return chunk[:, :, idx] * out_scale, cur
+    actions = _predict_from_tokens(cfg, rdt_params, key, proprio, img_tokens,
+                                   text_embeds, text_mask,
+                                   prior_actions=prior_actions,
+                                   skip_steps=skip_steps)
+    return actions, cur
 
 
 def _frame_digest(frames: np.ndarray, mask: np.ndarray) -> int:
