@@ -195,3 +195,50 @@ def test_param_count_1b_config():
     total += dense(m.img_token_dim, h) + dense(h, h)   # img mlp2x
     total += dense(m.state_token_dim * 2, h) + 2 * dense(h, h)  # state mlp3x
     assert 1.0e9 < total < 1.4e9, total
+
+
+def test_remat_blocks_same_loss_and_grad(rng):
+    """remat_blocks=True is numerically identical (forward AND gradients) —
+    it only changes what's live between forward and backward."""
+    import dataclasses
+
+    from vla_touch_tpu.config import NoiseSchedulerConfig, rdt_tiny
+    from vla_touch_tpu.models.rdt import runner as R
+
+    m = rdt_tiny()
+    cfg_plain = R.RDTRunnerConfig(model=m, noise=NoiseSchedulerConfig())
+    cfg_remat = R.RDTRunnerConfig(
+        model=dataclasses.replace(m, remat_blocks=True),
+        noise=NoiseSchedulerConfig())
+    params = R.init_rdt(cfg_plain, jax.random.PRNGKey(0))
+
+    B, Ll = 2, 5
+    batch = {
+        "lang_tokens": jnp.asarray(
+            rng.normal(size=(B, Ll, m.lang_token_dim)), jnp.float32),
+        "lang_mask": jnp.ones((B, Ll), bool),
+        "img_tokens": jnp.asarray(
+            rng.normal(size=(B, m.img_cond_len, m.img_token_dim)),
+            jnp.float32),
+        "state_tokens": jnp.asarray(
+            rng.normal(size=(B, 1, m.state_token_dim)), jnp.float32),
+        "action_gt": jnp.asarray(
+            rng.normal(size=(B, m.horizon, m.output_dim)), jnp.float32),
+        "action_mask": jnp.ones((B, 1, m.output_dim), jnp.float32),
+        "ctrl_freqs": jnp.full((B,), 10.0, jnp.float32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    def loss_of(cfg):
+        def f(p):
+            return R.rdt_compute_loss(cfg, p, key, batch)
+        return jax.value_and_grad(f)(params)
+
+    l0, g0 = loss_of(cfg_plain)
+    l1, g1 = loss_of(cfg_remat)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

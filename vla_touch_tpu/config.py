@@ -52,6 +52,11 @@ class RDTModelConfig:
     # Optional multimodal pos-embed configs, mirroring
     # lang_pos_embed_config / img_pos_embed_config (rdt_runner.py:22-23).
     img_pos_embed_grid: Optional[tuple] = (2, -3, 729)  # (frames, -cams, patches)
+    # Rematerialize each transformer block on the backward pass
+    # (jax.checkpoint): trades ~1/3 more forward FLOPs for dropping every
+    # block's activations from the training-step live set — the single-chip
+    # RDT-1B memory lever (the reference leans on DeepSpeed ZeRO instead).
+    remat_blocks: bool = False
 
     @property
     def compute_dtype(self):

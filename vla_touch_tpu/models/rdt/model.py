@@ -148,8 +148,11 @@ class RDT(fnn.Module):
                                            name="t_embedder", **kw)
         self.freq_embedder = TimestepEmbedder(cfg.hidden_size,
                                               name="freq_embedder", **kw)
+        # remat wraps __call__ only — the serving methods (call_cached /
+        # compute_kv) never run under grad and keep their plain forms
+        Block = fnn.remat(RDTBlock) if cfg.remat_blocks else RDTBlock
         self.blocks = [
-            RDTBlock(cfg.hidden_size, cfg.num_heads, name=f"block{i}", **kw)
+            Block(cfg.hidden_size, cfg.num_heads, name=f"block{i}", **kw)
             for i in range(cfg.depth)
         ]
         self.final_norm = RmsNorm(name="final_norm", **kw)

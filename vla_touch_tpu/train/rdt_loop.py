@@ -389,10 +389,13 @@ def main(argv=None):
                  "--hub_token"):
         p.add_argument(flag, default=None, help="accepted for script "
                        "compat; no TPU equivalent needed")
-    for flag in ("--allow_tf32", "--gradient_checkpointing",
+    for flag in ("--allow_tf32",
                  "--set_grads_to_none", "--push_to_hub"):
         p.add_argument(flag, action="store_true", help="accepted for "
                        "script compat; no TPU equivalent needed")
+    p.add_argument("--gradient_checkpointing", action="store_true",
+                   help="rematerialize each RDT block on backward "
+                        "(jax.checkpoint) — the single-chip memory lever")
     p.add_argument("--local_rank", type=int, default=-1,
                    help="accepted for compat (torch.distributed launcher)")
     args = p.parse_args(argv)
@@ -414,6 +417,8 @@ def main(argv=None):
 
     model_cfg = {"1b": rdt_1b, "170m": rdt_170m, "tiny": rdt_tiny}[
         args.model_scale]()
+    if args.gradient_checkpointing:
+        model_cfg = dataclasses.replace(model_cfg, remat_blocks=True)
     rcfg = R.RDTRunnerConfig(model=model_cfg, noise=NoiseSchedulerConfig())
     lr = args.learning_rate
     if args.scale_lr:
