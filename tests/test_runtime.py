@@ -153,3 +153,45 @@ def test_episode_replay_end_to_end(tmp_path):
     result = replay.run(sched, steps=20)
     assert result["actions"].shape == (20, 10)
     assert result["tracking_mse"] < 1e-9  # oracle tracks exactly
+
+
+def test_replay_cli_warm_wiring(tmp_path, monkeypatch, rng):
+    """--warm_skip wires a plan_warm_fn through build_scheduler; the loop
+    replans warm after the first chunk (tiny policy config)."""
+    import argparse
+
+    from vla_touch_tpu.config import NoiseSchedulerConfig, rdt_tiny
+    from vla_touch_tpu.data.episode import write_synthetic_episode
+    from vla_touch_tpu.models.encoders.vit import ViTConfig
+    from vla_touch_tpu.models.rdt import runner as R
+    from vla_touch_tpu.runtime import policy as P
+    from vla_touch_tpu.runtime import replay_cli
+
+    tiny_vit = ViTConfig(hidden_size=48, num_layers=1, num_heads=4,
+                         mlp_dim=96, image_size=28, patch_size=14,
+                         use_cls_token=False, use_layerscale=False,
+                         gelu_tanh=True)
+
+    RealPolicyConfig = P.PolicyConfig
+
+    def tiny_cfg():
+        return RealPolicyConfig(
+            rdt=R.RDTRunnerConfig(model=rdt_tiny(lang_token_dim=32),
+                                  noise=NoiseSchedulerConfig(
+                                      num_inference_timesteps=3)),
+            vision=tiny_vit, image_size=28)
+
+    monkeypatch.setattr(P, "PolicyConfig", tiny_cfg)
+    path = str(tmp_path / "ep.h5")
+    write_synthetic_episode(path, num_steps=24, img_size=28, chunk=8,
+                            lang_dim=32, with_vla=False)
+    replay = EpisodeReplay(path)
+    args = argparse.Namespace(
+        rdt_checkpoint=None, refiner="none", bridge_ckpt=None,
+        lstm_ckpt=None, replan_interval=4, refine_horizon=4,
+        gripper_deadband=0.0, warm_skip=1)
+    sched = replay_cli.build_scheduler(args, replay)
+    assert sched.plan_warm_fn is not None
+    result = replay.run(sched, steps=10)
+    assert result["actions"].shape == (10, 10)
+    assert np.isfinite(result["actions"]).all()

@@ -57,6 +57,16 @@ def build_scheduler(args, replay) -> ChunkScheduler:
                                text)
         return chunk[0]
 
+    plan_warm_fn = None
+    if getattr(args, "warm_skip", 0) > 0:
+        def plan_warm_fn(window, prior):
+            with prof.stage("vla_plan_warm"):
+                chunk = model.step(window.current.state,
+                                   window.image_sequence(), text,
+                                   prior_actions=prior,
+                                   skip_steps=args.warm_skip)
+            return chunk[0]
+
     bridge_fn = None
     lstm_fn = None
     def _prep_cam(img, size=384):
@@ -138,7 +148,7 @@ def build_scheduler(args, replay) -> ChunkScheduler:
         refiner=args.refiner, refine_horizon=args.refine_horizon,
         gripper_deadband=args.gripper_deadband)
     return ChunkScheduler(loop_cfg, plan_fn, bridge_refine_fn=bridge_fn,
-                          lstm_step_fn=lstm_fn)
+                          lstm_step_fn=lstm_fn, plan_warm_fn=plan_warm_fn)
 
 
 def main(argv=None):
@@ -151,6 +161,9 @@ def main(argv=None):
     p.add_argument("--bridge_ckpt", default=None)
     p.add_argument("--lstm_ckpt", default=None)
     p.add_argument("--replan_interval", type=int, default=16)
+    p.add_argument("--warm_skip", type=int, default=0,
+                   help="warm-start replans: skip this many solver steps, "
+                        "seeding from the previous (shifted) chunk")
     p.add_argument("--refine_horizon", type=int, default=16)
     p.add_argument("--gripper_deadband", type=float, default=2.0)
     p.add_argument("--steps", type=int, default=None)
