@@ -235,3 +235,41 @@ def test_quantized_llm_decode(params, rng):
                 rng.normal(size=lp[t]["B"].shape) * 0.1, jnp.float32)
     h_q_lora = np.asarray(L.llm_forward(CFG, qp8, e, lora=lora))
     assert np.abs(h_q_lora - h_q).max() > 1e-3
+
+
+def test_load_llm_from_hf_streaming(params, tmp_path, rng):
+    """Streamed safetensors load (optionally quantizing per layer) rebuilds
+    the tree: forward parity with the in-memory params."""
+    from safetensors.numpy import save_file
+
+    kmap = L.hf_key_map(CFG)
+
+    def fetch(path):
+        node = params
+        for p in path:
+            node = node[p] if not isinstance(p, int) else node[p]
+        return np.asarray(node)
+
+    tensors = {}
+    for hf_key, (path, transpose) in kmap.items():
+        a = fetch(path)
+        tensors[hf_key] = np.ascontiguousarray(a.T) if transpose else a
+    # two shards to exercise the multi-file index
+    keys = sorted(tensors)
+    save_file({k: tensors[k] for k in keys[::2]},
+              str(tmp_path / "model-00001-of-00002.safetensors"))
+    save_file({k: tensors[k] for k in keys[1::2]},
+              str(tmp_path / "model-00002-of-00002.safetensors"))
+
+    loaded = L.load_llm_from_hf(CFG, str(tmp_path))
+    e = jnp.asarray(rng.normal(size=(1, 5, CFG.hidden_size)), jnp.float32)
+    h_ref = np.asarray(L.llm_forward(CFG, params, e))
+    h_l = np.asarray(L.llm_forward(CFG, loaded, e))
+    np.testing.assert_allclose(h_l, h_ref, rtol=2e-2, atol=2e-2)  # bf16 cast
+
+    q = L.load_llm_from_hf(CFG, str(tmp_path), weights="int8")
+    assert "w_i8" in q["layers"][0]["q"]
+    assert "lm_head" not in q          # CFG ties embeddings
+    h_q = np.asarray(L.llm_forward(CFG, q, e))
+    corr = np.corrcoef(h_ref.ravel(), h_q.ravel())[0, 1]
+    assert corr > 0.99, corr

@@ -144,6 +144,78 @@ def hf_key_map(cfg: LLMConfig) -> dict:
     return m
 
 
+def load_llm_from_hf(cfg: LLMConfig, model_dir: str, weights=None,
+                     dtype=jnp.bfloat16) -> dict:
+    """Stream a Qwen2/LLaMA safetensors checkpoint into the tree.
+
+    ``weights='int8'|'int4'`` quantizes each decoder layer AS IT LOADS, so
+    peak memory is the quantized tree plus one bf16 layer — a 7.6B Qwen2.5
+    fits a single 16 GB chip (a load-everything-then-quantize pass peaks at
+    bf16+int8 ≈ 23 GB and OOMs).  Replaces the reference's
+    ``infer_auto_device_map`` + disk-offload loading (llm.py:45-75).
+    """
+    import glob
+    import os
+
+    from safetensors import safe_open
+
+    files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no *.safetensors under {model_dir}")
+    where = {}
+    for fp in files:
+        with safe_open(fp, framework="numpy") as f:
+            for k in f.keys():
+                where[k] = fp
+
+    kmap = hf_key_map(cfg)
+
+    def get(hf_key):
+        path, transpose = kmap[hf_key]
+        with safe_open(where[hf_key], framework="numpy") as f:
+            a = f.get_tensor(hf_key)
+        a = np.ascontiguousarray(a.T) if transpose else a
+        return jnp.asarray(a, dtype if a.ndim >= 2 else jnp.float32)
+
+    # group the map by destination: per-layer subtrees stream one at a time
+    by_layer: dict = {}
+    top = {}
+    for hf_key, (path, _) in kmap.items():
+        if hf_key not in where:
+            continue          # e.g. tied lm_head absent from the checkpoint
+        if path[0] == "layers":
+            by_layer.setdefault(path[1], []).append((hf_key, path[2:]))
+        else:
+            top[hf_key] = path
+
+    if weights is not None:
+        from vla_touch_tpu.ops.quant import quantize_tree, quantize_tree_w4
+
+        qt = {"int8": quantize_tree, "int4": quantize_tree_w4}[weights]
+
+    layers = []
+    for i in range(cfg.num_layers):
+        lp: dict = {}
+        for hf_key, sub in sorted(by_layer.get(i, [])):
+            node = lp
+            for p in sub[:-1]:
+                node = node.setdefault(p, {})
+            node[sub[-1]] = get(hf_key)
+        if weights is not None:
+            lp = jax.block_until_ready(qt(lp))
+        layers.append(lp)
+
+    params: dict = {"layers": layers}
+    for hf_key, path in top.items():
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = get(hf_key)
+    if weights is not None and "lm_head" in params:
+        params["lm_head"] = qt(params["lm_head"])
+    return params
+
+
 # --------------------------------------------------------------------------
 # LoRA (reference llm.py:86-113, peft)
 # --------------------------------------------------------------------------
