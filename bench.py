@@ -145,46 +145,40 @@ def main():
     # keeps the device saturated and amortizes the dev-harness artifact of
     # a ~40-55ms network-tunnel RTT per host round-trip (measured: one
     # trivial jitted op with fetch costs ~56ms through the tunnel).
-    def measure(fn, rdt_p):
-        out = fn(rdt_p, bst.params, bst.ema.shadow, jax.random.PRNGKey(0),
-                 state10)
+    def measure(tick, init_carry):
+        """``tick(key, carry) -> (refined, carry')`` chained over ITERS
+        sequentially-dependent control ticks, single completion fetch."""
+        out, _ = tick(jax.random.PRNGKey(0), init_carry)
         np.asarray(out)  # compile + warm
         ITERS = 10
         lat = []
         for i in range(8):
             t0 = time.perf_counter()
-            s = state10
+            carry = init_carry
             for j in range(ITERS):
-                refined = fn(rdt_p, bst.params, bst.ema.shadow,
-                             jax.random.PRNGKey(i * ITERS + j), s)
-                s = refined[:, 0, :]  # true sequential dependence
+                refined, carry = tick(jax.random.PRNGKey(i * ITERS + j),
+                                      carry)
             np.asarray(refined)  # single completion fetch
             lat.append((time.perf_counter() - t0) * 1e3 / ITERS)
         return float(np.percentile(lat, 50))
 
-    p50_bf16 = measure(pipeline, params)
-    p50_q8 = measure(pipeline_q8, qparams)
+    def cold_tick(fn, rdt_p):
+        def tick(key, s):
+            refined = fn(rdt_p, bst.params, bst.ema.shadow, key, s)
+            return refined, refined[:, 0, :]  # true sequential dependence
+        return tick
 
-    def measure_warm():
-        prior0 = jnp.zeros((B, m.horizon, m.output_dim), jnp.float32)
-        out, _ = pipeline_q8_warm(qparams, bst.params, bst.ema.shadow,
-                                  jax.random.PRNGKey(0), state10, prior0)
-        np.asarray(out)  # compile + warm
-        ITERS = 10
-        lat = []
-        for i in range(8):
-            t0 = time.perf_counter()
-            s, prior = state10, prior0
-            for j in range(ITERS):
-                refined, prior = pipeline_q8_warm(
-                    qparams, bst.params, bst.ema.shadow,
-                    jax.random.PRNGKey(i * ITERS + j), s, prior)
-                s = refined[:, 0, :]
-            np.asarray(refined)
-            lat.append((time.perf_counter() - t0) * 1e3 / ITERS)
-        return float(np.percentile(lat, 50))
+    p50_bf16 = measure(cold_tick(pipeline, params), state10)
+    p50_q8 = measure(cold_tick(pipeline_q8, qparams), state10)
 
-    p50_q8_warm = measure_warm()
+    def warm_tick(key, carry):
+        s, prior = carry
+        refined, prior = pipeline_q8_warm(qparams, bst.params,
+                                          bst.ema.shadow, key, s, prior)
+        return refined, (refined[:, 0, :], prior)
+
+    prior0 = jnp.zeros((B, m.horizon, m.output_dim), jnp.float32)
+    p50_q8_warm = measure(warm_tick, (state10, prior0))
 
     # Serving-parity gate for the int8 path: the refined chunk must stay
     # directionally identical to the bf16 pipeline (the <1e-3 cross-

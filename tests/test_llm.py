@@ -247,7 +247,7 @@ def test_load_llm_from_hf_streaming(params, tmp_path, rng):
     def fetch(path):
         node = params
         for p in path:
-            node = node[p] if not isinstance(p, int) else node[p]
+            node = node[p]
         return np.asarray(node)
 
     tensors = {}

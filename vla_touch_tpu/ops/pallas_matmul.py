@@ -245,8 +245,11 @@ def a8w8_matmul_large(x, w_i8, scale, bias=None, *, block_m: int = 512,
     Numerics identical to :func:`vla_touch_tpu.ops.quant.qdense`."""
     *lead, K = x.shape
     N = w_i8.shape[1]
-    assert w_i8.shape[0] == K and K % 128 == 0 and N % block_n == 0, \
-        (x.shape, w_i8.shape, block_n)
+    assert w_i8.shape[0] == K, (x.shape, w_i8.shape)
+    if K % 128 or N % block_n:
+        # kernel-unfriendly dims: degrade to the XLA int8 path like the
+        # sibling kernels instead of crashing the dispatch
+        return _xla_int8_fallback(x, w_i8, scale, bias, out_dtype)
 
     M = 1
     for d in lead:

@@ -162,18 +162,25 @@ def load_llm_from_hf(cfg: LLMConfig, model_dir: str, weights=None,
     files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
     if not files:
         raise FileNotFoundError(f"no *.safetensors under {model_dir}")
+    handles = {fp: safe_open(fp, framework="numpy") for fp in files}
     where = {}
-    for fp in files:
-        with safe_open(fp, framework="numpy") as f:
-            for k in f.keys():
-                where[k] = fp
+    for fp, f in handles.items():
+        for k in f.keys():
+            where[k] = fp
 
     kmap = hf_key_map(cfg)
+    # every mapped tensor must exist — a silently-dropped qkv bias or shard
+    # produces a wrong model with no diagnostic
+    missing = sorted(k for k in kmap if k not in where)
+    if missing:
+        raise KeyError(
+            f"checkpoint at {model_dir} is missing {len(missing)} tensors "
+            f"the config requires, e.g. {missing[:4]} — wrong config "
+            f"(qkv_bias/tie_embeddings/num_layers?) or incomplete download")
 
     def get(hf_key):
         path, transpose = kmap[hf_key]
-        with safe_open(where[hf_key], framework="numpy") as f:
-            a = f.get_tensor(hf_key)
+        a = handles[where[hf_key]].get_tensor(hf_key)
         a = np.ascontiguousarray(a.T) if transpose else a
         return jnp.asarray(a, dtype if a.ndim >= 2 else jnp.float32)
 
@@ -181,8 +188,6 @@ def load_llm_from_hf(cfg: LLMConfig, model_dir: str, weights=None,
     by_layer: dict = {}
     top = {}
     for hf_key, (path, _) in kmap.items():
-        if hf_key not in where:
-            continue          # e.g. tied lm_head absent from the checkpoint
         if path[0] == "layers":
             by_layer.setdefault(path[1], []).append((hf_key, path[2:]))
         else:
