@@ -142,3 +142,41 @@ def test_wrapper_warm_step(rng):
     # the warm path actually differs from the cold one (it starts from the
     # re-noised prior, not pure noise)
     assert np.abs(out_cold - out_warm).max() > 1e-6
+
+
+def test_policy_serves_quantized_tree(rng):
+    """A quantize_rdt_params tree drops into every policy dispatch (cold,
+    cached, warm) and tracks the bf16 policy output."""
+    from vla_touch_tpu.models.rdt import quant_serve as Q
+
+    cfg = _cfg()
+    model = P.create_model(cfg, seed=0, cache_frames=False)
+    model.rdt_params["model"]["final_ffn"]["fc2"]["kernel"] = jnp.asarray(
+        rng.normal(size=model.rdt_params["model"]["final_ffn"]["fc2"]
+                   ["kernel"].shape) * 0.05, jnp.float32)
+    qparams = Q.quantize_rdt_params(model.rdt_params)
+
+    proprio = jnp.asarray(rng.normal(size=(1, 10)), jnp.float32)
+    frames = jnp.asarray(rng.integers(0, 255, (1, 6, 28, 28, 3)), jnp.uint8)
+    mask = jnp.ones((1, 6), bool)
+    text = jnp.asarray(rng.normal(size=(1, 4, TINY_RDT.lang_token_dim)),
+                       jnp.float32)
+    tmask = jnp.ones((1, 4), bool)
+    key = jax.random.PRNGKey(5)
+
+    ref = P.policy_step(cfg, model.rdt_params, model.vision_params, key,
+                        proprio, frames, mask, text, tmask)
+    got = P.policy_step(cfg, qparams, model.vision_params, key,
+                        proprio, frames, mask, text, tmask)
+    assert got.shape == ref.shape
+    corr = np.corrcoef(np.asarray(ref).ravel(), np.asarray(got).ravel())[0, 1]
+    assert corr > 0.99, corr
+
+    prior = jnp.asarray(rng.normal(size=(1, TINY_RDT.horizon, 10)) * 0.1,
+                        jnp.float32)
+    prev = P.encode_frames(cfg, model.vision_params, frames[:, :3],
+                           mask[:, :3])
+    combo, _ = P.policy_step_cached_warm(
+        cfg, qparams, model.vision_params, key, proprio, frames[:, 3:],
+        mask[:, 3:], prev, text, tmask, prior, 1)
+    assert np.isfinite(np.asarray(combo)).all()

@@ -88,6 +88,16 @@ def _encode_frames(cfg: PolicyConfig, vision_params, images, image_mask,
     return tokens.reshape(B, -1, tokens.shape[-1])
 
 
+def _is_quant_tree(rdt_params) -> bool:
+    """True when the runner tree holds quantized leaves (int8 'w_i8' or
+    grouped-int4 'w4_pack') — checked on dict structure only, which is
+    static under jit."""
+    mp = rdt_params.get("model", {}) if isinstance(rdt_params, dict) else {}
+    blk = mp.get("block0", {})
+    qkv = blk.get("attn", {}).get("qkv", {})
+    return "w_i8" in qkv or "w4_pack" in qkv
+
+
 def _predict_from_tokens(cfg: PolicyConfig, rdt_params, key, proprio,
                          img_tokens, text_embeds, text_mask,
                          prior_actions=None, skip_steps: int = 0):
@@ -113,12 +123,25 @@ def _predict_from_tokens(cfg: PolicyConfig, rdt_params, key, proprio,
         prior128 = prior128.at[:, :, idx].set(
             prior_actions.astype(jnp.float32) / out_scale)
 
-    chunk = R.rdt_predict_action(
-        cfg.rdt, rdt_params, key,
-        text_embeds.astype(dtype), text_mask, img_tokens.astype(dtype),
-        state[:, None, :].astype(dtype), mask[:, None, :],
-        jnp.full((B,), cfg.control_frequency, jnp.float32),
-        prior_chunk=prior128, skip_steps=skip_steps)
+    # The tree structure is static under jit, so a quantized parameter tree
+    # (models/rdt/quant_serve.quantize_rdt_params) routes to the int8/int4
+    # serving twin with zero runtime cost.
+    if _is_quant_tree(rdt_params):
+        from vla_touch_tpu.models.rdt import quant_serve as Q
+
+        chunk = Q.rdt_predict_action_quant(
+            cfg.rdt, rdt_params, key,
+            text_embeds.astype(dtype), text_mask, img_tokens.astype(dtype),
+            state[:, None, :].astype(dtype), mask[:, None, :],
+            jnp.full((B,), cfg.control_frequency, jnp.float32),
+            prior_chunk=prior128, skip_steps=skip_steps)
+    else:
+        chunk = R.rdt_predict_action(
+            cfg.rdt, rdt_params, key,
+            text_embeds.astype(dtype), text_mask, img_tokens.astype(dtype),
+            state[:, None, :].astype(dtype), mask[:, None, :],
+            jnp.full((B,), cfg.control_frequency, jnp.float32),
+            prior_chunk=prior128, skip_steps=skip_steps)
 
     return chunk[:, :, idx] * out_scale
 
