@@ -256,6 +256,7 @@ if __name__ == "__main__":
     gen_lstm()
     gen_bridge()
     gen_policy_chunk()
+    gen_quant_chunk()
     gen_rdt()
 
 
@@ -300,3 +301,54 @@ def gen_policy_chunk():
     np.savez_compressed(os.path.join(OUT, "policy_chunk.npz"), chunk=chunk,
                         input_seed=INPUT_SEED + 3)
     print("policy_chunk:", chunk.shape, float(np.abs(chunk).max()))
+
+
+# ------------------------------------------------------ int8 serving anchor --
+
+def gen_quant_chunk():
+    """Frozen int8-serving anchor: quantize_rdt_params + the quant denoise
+    loop at tiny f32 config with seeded weights/inputs -> committed chunk.
+    Integer matmuls + fixed-order f32 dequant are deterministic, so this
+    pins the whole quantization scheme (scales, per-token activation quant,
+    solver wiring) against silent numeric drift."""
+    import jax
+    import jax.numpy as jnp
+
+    from vla_touch_tpu.config import NoiseSchedulerConfig, rdt_tiny
+    from vla_touch_tpu.models.rdt import quant_serve as Q
+    from vla_touch_tpu.models.rdt import runner as R
+
+    rcfg = R.RDTRunnerConfig(model=rdt_tiny(dtype="float32"),
+                             noise=NoiseSchedulerConfig(
+                                 num_inference_timesteps=3))
+    m = rcfg.model
+    params = R.init_rdt(rcfg, jax.random.PRNGKey(4))
+    rng = np.random.default_rng(INPUT_SEED + 4)
+    params["model"]["final_ffn"]["fc2"]["kernel"] = jnp.asarray(
+        rng.normal(size=params["model"]["final_ffn"]["fc2"]["kernel"].shape)
+        * 0.05, jnp.float32)
+    qparams = Q.quantize_rdt_params(params)
+
+    B, Ll = 1, 7
+    lang = jnp.asarray(rng.normal(size=(B, Ll, m.lang_token_dim)),
+                       jnp.float32)
+    lang_mask = jnp.ones((B, Ll), bool)
+    img = jnp.asarray(rng.normal(size=(B, m.img_cond_len, m.img_token_dim)),
+                      jnp.float32)
+    state = jnp.asarray(rng.normal(size=(B, 1, m.state_token_dim)),
+                        jnp.float32)
+    amask = jnp.ones((B, 1, m.output_dim), jnp.float32)
+    freqs = jnp.asarray([10.0])
+    prior = jnp.asarray(rng.normal(size=(B, m.horizon, m.output_dim)) * 0.3,
+                        jnp.float32)
+    cold = Q.rdt_predict_action_quant(rcfg, qparams, jax.random.PRNGKey(21),
+                                      lang, lang_mask, img, state, amask,
+                                      freqs)
+    warm = Q.rdt_predict_action_quant(rcfg, qparams, jax.random.PRNGKey(21),
+                                      lang, lang_mask, img, state, amask,
+                                      freqs, prior_chunk=prior, skip_steps=1)
+    np.savez_compressed(os.path.join(OUT, "quant_chunk.npz"),
+                        cold=np.asarray(cold), warm=np.asarray(warm),
+                        input_seed=INPUT_SEED + 4)
+    print("quant_chunk:", np.asarray(cold).shape,
+          float(np.abs(np.asarray(cold)).max()))

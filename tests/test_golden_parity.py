@@ -247,3 +247,54 @@ def test_policy_chunk_frozen_anchor():
     chunk = model.step(proprio, images, text)
     mse = _mse(chunk, fx["chunk"])
     assert mse < 1e-6, mse
+
+
+@pytest.mark.slow
+def test_quant_chunk_frozen_anchor():
+    """The int8 serving path (quantize_rdt_params -> quant denoise loop,
+    cold AND warm-started) reproduces its frozen chunks — integer matmuls
+    plus fixed-order f32 dequant are deterministic, so this pins scales,
+    per-token activation quantization, and solver wiring against silent
+    numeric drift."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.make_golden_fixtures import INPUT_SEED
+    from vla_touch_tpu.config import NoiseSchedulerConfig, rdt_tiny
+    from vla_touch_tpu.models.rdt import quant_serve as Q
+    from vla_touch_tpu.models.rdt import runner as R
+
+    fx = _load("quant_chunk.npz")
+    rcfg = R.RDTRunnerConfig(model=rdt_tiny(dtype="float32"),
+                             noise=NoiseSchedulerConfig(
+                                 num_inference_timesteps=3))
+    m = rcfg.model
+    params = R.init_rdt(rcfg, jax.random.PRNGKey(4))
+    rng = np.random.default_rng(int(fx["input_seed"]))
+    params["model"]["final_ffn"]["fc2"]["kernel"] = jnp.asarray(
+        rng.normal(size=params["model"]["final_ffn"]["fc2"]["kernel"].shape)
+        * 0.05, jnp.float32)
+    qparams = Q.quantize_rdt_params(params)
+
+    B, Ll = 1, 7
+    lang = jnp.asarray(rng.normal(size=(B, Ll, m.lang_token_dim)),
+                       jnp.float32)
+    lang_mask = jnp.ones((B, Ll), bool)
+    img = jnp.asarray(rng.normal(size=(B, m.img_cond_len, m.img_token_dim)),
+                      jnp.float32)
+    state = jnp.asarray(rng.normal(size=(B, 1, m.state_token_dim)),
+                        jnp.float32)
+    amask = jnp.ones((B, 1, m.output_dim), jnp.float32)
+    freqs = jnp.asarray([10.0])
+    prior = jnp.asarray(rng.normal(size=(B, m.horizon, m.output_dim)) * 0.3,
+                        jnp.float32)
+    cold = Q.rdt_predict_action_quant(rcfg, qparams, jax.random.PRNGKey(21),
+                                      lang, lang_mask, img, state, amask,
+                                      freqs)
+    warm = Q.rdt_predict_action_quant(rcfg, qparams, jax.random.PRNGKey(21),
+                                      lang, lang_mask, img, state, amask,
+                                      freqs, prior_chunk=prior, skip_steps=1)
+    np.testing.assert_allclose(np.asarray(cold), fx["cold"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(warm), fx["warm"],
+                               rtol=1e-5, atol=1e-5)
