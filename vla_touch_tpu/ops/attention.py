@@ -42,10 +42,12 @@ def dot_product_attention(q, k, v, kv_mask=None, scale=None, use_pallas="auto"):
     is large enough to pay off; True/False force a path.
     """
     if use_pallas == "auto":
-        # Measured on v5e at the RDT shape (Lq=67, Lkv=4374, H=16, D=72):
-        # the einsum path fuses well under XLA and currently beats the Pallas
-        # kernel (1.09ms vs 1.51ms incl. dispatch), so "auto" = XLA until the
-        # kernel wins at a shape class we care about.
+        # Measured on v5e at both RDT shapes: 170m config (Lq=67, Lkv=4374,
+        # H=16, D=72) XLA 1.09 ms vs Pallas 1.51 ms incl. dispatch; RDT-1B
+        # config (H=32, D=64, in-jit chained) XLA 306 us vs Pallas 428 us.
+        # The einsum path fuses well under XLA at this short-query/long-KV
+        # class, so "auto" = XLA until the kernel wins at a shape we care
+        # about.
         use_pallas = False
     if use_pallas:
         from vla_touch_tpu.ops.pallas_attention import flash_cross_attention
