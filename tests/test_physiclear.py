@@ -222,3 +222,16 @@ def test_trial_row_roundtrip_schema(tmp_path):
     row = json.loads(open(p).readline())
     assert set(row) >= {"trial_number", "start_time", "image",
                         "initial_prompt", "steps"}
+
+
+def test_ranking_qa_single_object_pool():
+    """A split with ONE object must not crash the part-group sampler
+    (rng.choice(replace=False) from an empty 'others' pool) — the group
+    degrades to a single part."""
+    name = PC.split_objects("train")[0]
+    samples = {name: [f"/rec/{name}/sample_0", f"/rec/{name}/sample_1"]}
+    rows = QA.generate_physiclear_description_ranking_qa(
+        samples, 10, split="train", seed=0, use_parts=True)
+    assert len(rows) == 10
+    for r in rows:
+        assert r["chat"][0]["role"] == "user"
