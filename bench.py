@@ -16,12 +16,20 @@ bound, so int8 storage cuts ~1.2 GB of HBM reads per step).  The headline is
 the faster path that passes the parity gate (refined-chunk correlation
 > 0.999 vs bf16); both raw numbers are reported.
 
-``vs_baseline``: the reference repo publishes no numbers (BASELINE.md); the
-comparison constant below is an estimate of the reference PyTorch stack's
-p50 on A100 for the same pipeline — RDT-1B reports ~6 Hz chunk inference on
+``vs_baseline`` is MEASURED÷MEASURED on the same chip: the denominator is
+our headline path, the numerator is the reference's serving algorithm
+re-implemented faithfully in-repo (``rdt_predict_action_reference_style``,
+exactly ``VLA/models/rdt_runner.py:122-165`` semantics — conditions adapted
+once, every denoise step re-runs the FULL transformer recomputing all
+cross-attention K/V over the 4374-token image condition, no caches, no warm
+start, bf16) feeding the same BRIDGeR refine.  Equivalence of the two
+algorithms' outputs is pinned by
+``test_rdt.py::test_reference_style_serving_matches_cached``.
+
+``vs_a100_estimate`` keeps the cross-hardware context: the reference repo
+publishes no numbers (BASELINE.md); RDT-1B reports ~6 Hz chunk inference on
 its deployment GPU (≈166 ms) plus the BRIDGeR SDE (10 steps × 2 UNet
 forwards, ≈35 ms measured class on A100-class hardware) ≈ 200 ms total.
-vs_baseline = estimated_reference_ms / our_ms (>1 means faster).
 """
 
 from __future__ import annotations
@@ -101,6 +109,21 @@ def main():
                                     cam2_feat=cam2, forces=forces)
         return refined
 
+    # Reference-faithful serving algorithm (the measured baseline): no
+    # condition-KV cache — every solver step recomputes all cross-attn K/V,
+    # exactly rdt_runner.py:122-165.  Same bf16 params, same BRIDGeR refine.
+    @jax.jit
+    def pipeline_ref_style(rdt_params, b_params, ema_shadow, key, state10_in):
+        k1, k2 = jax.random.split(key)
+        chunk128 = R.rdt_predict_action_reference_style(
+            rcfg, rdt_params, k1, lang, lang_mask, img, state128, amask,
+            freqs)
+        vla10 = chunk128[:, : bcfg.horizon, 30:40].astype(jnp.float32)
+        refined = BR.bridge_predict(bcfg, b_params, ema_shadow, stats,
+                                    k2, state10_in, vla10, cam1_feat=cam1,
+                                    cam2_feat=cam2, forces=forces)
+        return refined
+
     # int8 serving twin: weight-quantized RDT (models/rdt/quant_serve.py)
     # feeding the same BRIDGeR refine.
     @jax.jit
@@ -169,6 +192,7 @@ def main():
         return tick
 
     p50_bf16 = measure(cold_tick(pipeline, params), state10)
+    p50_ref_style = measure(cold_tick(pipeline_ref_style, params), state10)
     p50_q8 = measure(cold_tick(pipeline_q8, qparams), state10)
 
     def warm_tick(key, carry):
@@ -200,7 +224,11 @@ def main():
                   f"10-step refine, b1, {path}, device-resident loop)",
         "value": round(p50, 2),
         "unit": "ms",
-        "vs_baseline": round(REFERENCE_A100_MS_ESTIMATE / p50, 2),
+        # measured / measured, same chip: the reference's serving algorithm
+        # (full per-step KV recompute, no caches) vs our headline path
+        "vs_baseline": round(p50_ref_style / p50, 2),
+        "reference_style_ms": round(p50_ref_style, 2),
+        "vs_a100_estimate": round(REFERENCE_A100_MS_ESTIMATE / p50, 2),
         "bf16_ms": round(p50_bf16, 2),
         "int8_ms": round(p50_q8, 2),
         "int8_chunk_corr_vs_bf16": round(corr, 5),

@@ -89,14 +89,29 @@ def torch_runner_sd(model, lang_ad, img_ad, state_ad) -> dict:
 
 
 def gen_rdt():
+    from vla_touch_tpu.config import rdt_170m
+
+    _gen_rdt_for(rdt_170m(), "rdt_full.npz")
+
+
+def gen_rdt_1b():
+    """The FLAGSHIP config (2048 x 28 x 32, 4374-token image condition —
+    ``rdt_1b()``, ≙ the hub ``rdt-1b`` checkpoint dims): closes the
+    round-2 verdict's proof seam between the 170m-parity evidence and the
+    1B bench headline.  ~15 min of torch-CPU oracle compute."""
+    from vla_touch_tpu.config import rdt_1b
+
+    _gen_rdt_for(rdt_1b(), "rdt_1b.npz")
+
+
+def _gen_rdt_for(m, out_name):
     import jax
     import jax.numpy as jnp
     import torch
 
-    from vla_touch_tpu.config import NoiseSchedulerConfig, rdt_170m
+    from vla_touch_tpu.config import NoiseSchedulerConfig
     from vla_touch_tpu.ops import schedulers as S
 
-    m = rdt_170m()
     ncfg = NoiseSchedulerConfig()
     model, lang_ad, img_ad, state_ad = make_torch_runner(m)
     sd = torch_runner_sd(model, lang_ad, img_ad, state_ad)
@@ -140,14 +155,15 @@ def gen_rdt():
         rollout = np.asarray(xt) * mask_h
 
     fp = _fingerprint(sd, [
-        "model.blocks.0.attn.qkv.weight", "model.blocks.27.ffn.fc2.weight",
+        "model.blocks.0.attn.qkv.weight",
+        f"model.blocks.{m.depth - 1}.ffn.fc2.weight",
         "model.final_layer.ffn_final.fc1.weight",
         "lang_adaptor.0.weight", "state_adaptor.4.weight"])
     np.savez_compressed(
-        os.path.join(OUT, "rdt_full.npz"), forward=fwd, rollout=rollout,
+        os.path.join(OUT, out_name), forward=fwd, rollout=rollout,
         torch_seed=TORCH_SEED, input_seed=INPUT_SEED, steps=5, t_fwd=500,
         **fp)
-    print("rdt_full: fwd", fwd.shape, "rollout", rollout.shape,
+    print(out_name, ": fwd", fwd.shape, "rollout", rollout.shape,
           float(np.abs(rollout).max()))
 
 
@@ -247,19 +263,6 @@ def gen_lstm():
     print("lstm_full: sequence", out.shape, float(np.abs(out).max()))
 
 
-if __name__ == "__main__":
-    os.makedirs(OUT, exist_ok=True)
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
-    gen_lstm()
-    gen_bridge()
-    gen_policy_chunk()
-    gen_quant_chunk()
-    gen_rdt()
-
-
 # ---------------------------------------------------- runtime chunk anchor --
 
 def gen_policy_chunk():
@@ -352,3 +355,17 @@ def gen_quant_chunk():
                         input_seed=INPUT_SEED + 4)
     print("quant_chunk:", np.asarray(cold).shape,
           float(np.abs(np.asarray(cold)).max()))
+
+
+if __name__ == "__main__":
+    os.makedirs(OUT, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+    GENS = {"lstm": gen_lstm, "bridge": gen_bridge,
+            "policy_chunk": gen_policy_chunk, "quant_chunk": gen_quant_chunk,
+            "rdt": gen_rdt, "rdt_1b": gen_rdt_1b}
+    picked = sys.argv[1:] or list(GENS)
+    for name in picked:
+        GENS[name]()

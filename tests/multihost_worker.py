@@ -39,6 +39,25 @@ def build_global_batch(accum: int, micro: int, m) -> dict:
     }
 
 
+def build_eval_batch(batch: int, m) -> dict:
+    """Deterministic global eval batch (sampling-eval protocol inputs)."""
+    rng = np.random.default_rng(7)
+
+    def r(*s):
+        return rng.normal(size=(batch,) + s).astype(np.float32)
+
+    return {
+        "lang_tokens": r(6, m.lang_token_dim),
+        "lang_mask": np.ones((batch, 6), bool),
+        "img_tokens": r(m.img_cond_len, m.img_token_dim),
+        "state_tokens": r(1, m.state_token_dim),
+        "action_gt": r(m.horizon, m.output_dim),
+        "action_mask": np.ones((batch, 1, m.output_dim), np.float32),
+        "ctrl_freqs": np.full((batch,), 10.0, np.float32),
+        "state_norm": np.abs(r(m.output_dim)) + 0.5,
+    }
+
+
 def run(process_id: int, num_processes: int, port: int,
         local_devices: int = 4, n_model: int = 1) -> None:
     import jax
@@ -88,6 +107,25 @@ def run(process_id: int, num_processes: int, port: int,
     assert int(new_state.step) == 1
     print(f"MHLOSS proc={process_id} nproc={num_processes} "
           f"mesh={dict(mesh.shape)} loss={loss:.8f}", flush=True)
+
+    # Cross-rank sampling eval (≙ accelerator.gather_for_metrics,
+    # train/sample.py:67-70): each process contributes its host-local slice
+    # of the eval batch; the metric sums ride the mesh as pjit outputs, so
+    # the printed metrics are GLOBAL and identical on every process.
+    from vla_touch_tpu.train.rdt_loop import sample_metrics
+
+    ebatch = build_eval_batch(micro, rcfg.model)
+    local_e = {k: v[process_id * per:(process_id + 1) * per]
+               for k, v in ebatch.items()}
+    img = local_e.pop("img_tokens")
+    dev_e = launch.host_local_batch(mesh, local_e,
+                                    spec=P(mesh_lib.DATA_AXIS))
+    dev_img = launch.host_local_batch(mesh, img,
+                                      spec=P(mesh_lib.DATA_AXIS))
+    sm = sample_metrics(rcfg, new_state.params, jax.random.PRNGKey(7),
+                        dev_e, dev_img)
+    print(f"MHEVAL proc={process_id} mse={sm['sample_mse']:.8f} "
+          f"l2={sm['sample_l2err']:.8f}", flush=True)
 
 
 if __name__ == "__main__":

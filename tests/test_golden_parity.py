@@ -135,6 +135,124 @@ def test_rdt_full_config_bf16_drift():
           f"{drift:.3e}")
 
 
+# ----------------------------------------------------- RDT flagship (1B) --
+
+@pytest.fixture(scope="module")
+def rdt_1b_ported():
+    """Torch oracle -> ported params at the FLAGSHIP 2048x28x32 config
+    (built once per module; ~4.8 GB f32)."""
+    from tests.make_golden_fixtures import make_torch_runner, torch_runner_sd
+    from vla_touch_tpu.config import rdt_1b
+
+    m = rdt_1b(dtype="float32")
+    sd = torch_runner_sd(*make_torch_runner(m))
+    params = tp.rdt_runner(sd, depth=m.depth)
+    return m, sd, params
+
+
+@pytest.mark.slow
+def test_rdt_1b_config_golden(rdt_1b_ported):
+    """Golden parity AT THE BENCH HEADLINE CONFIG (rdt_1b: 2048 x 28 x 32,
+    4374-token image condition) — closes the round-2 proof seam between
+    170m parity evidence and the 1B serving numbers.  Ref:
+    ``VLA/models/rdt_runner.py:146-160``."""
+    from tests.make_golden_fixtures import rdt_inputs
+    from vla_touch_tpu.config import NoiseSchedulerConfig
+    from vla_touch_tpu.models.rdt import runner as R
+
+    fx = _load("rdt_1b.npz")
+    m, sd, params = rdt_1b_ported
+    _check_fingerprints(fx, sd)
+    rcfg = R.RDTRunnerConfig(model=m, noise=NoiseSchedulerConfig(
+        num_inference_timesteps=int(fx["steps"])))
+    lang, lang_mask, img, state, amask, freqs, noise = rdt_inputs(m)
+
+    module = R.RDTRunnerModule(m)
+    state_in = jnp.concatenate(
+        [jnp.asarray(state), jnp.asarray(amask)], axis=2)
+    lang_c, img_c, state_traj = module.apply(
+        {"params": params}, jnp.asarray(lang), jnp.asarray(img), state_in,
+        method=R.RDTRunnerModule.adapt_conditions)
+    mask_h = np.broadcast_to(amask, (1, m.horizon, m.output_dim))
+    action_in = jnp.asarray(np.concatenate([noise, mask_h], axis=2))
+    action_traj = module.apply({"params": params}, action_in,
+                               method=R.RDTRunnerModule.adapt_state)
+    x = jnp.concatenate([state_traj, action_traj], axis=1)
+    fwd = module.apply(
+        {"params": params}, x, jnp.asarray(freqs),
+        jnp.full((1,), int(fx["t_fwd"]), jnp.int32), lang_c, img_c,
+        jnp.asarray(lang_mask), method=R.RDTRunnerModule.forward_model)
+    fwd_mse = _mse(fwd, fx["forward"])
+    assert fwd_mse < 1e-3, fwd_mse
+
+    rollout = R.rdt_predict_action(
+        rcfg, params, jax.random.PRNGKey(0), jnp.asarray(lang),
+        jnp.asarray(lang_mask), jnp.asarray(img), jnp.asarray(state),
+        jnp.asarray(amask), jnp.asarray(freqs), init_noise=noise)
+    ro_mse = _mse(rollout, fx["rollout"])
+    assert ro_mse < 1e-3, ro_mse
+    print(f"rdt_1b f32: forward MSE {fwd_mse:.3e}, "
+          f"5-step rollout MSE {ro_mse:.3e}")
+
+
+@pytest.mark.slow
+def test_rdt_1b_bf16_drift(rdt_1b_ported):
+    """Measured bf16 drift at 2048-hidden depth 28 vs the f32 golden — the
+    serving dtype's drift at the exact headline config."""
+    from tests.make_golden_fixtures import rdt_inputs
+    from vla_touch_tpu.config import NoiseSchedulerConfig, rdt_1b
+    from vla_touch_tpu.models.rdt import runner as R
+
+    fx = _load("rdt_1b.npz")
+    m_f32, _, params = rdt_1b_ported
+    m = rdt_1b()  # bf16 compute dtype
+    params16 = jax.tree.map(lambda p: jnp.asarray(p, jnp.bfloat16), params)
+    rcfg = R.RDTRunnerConfig(model=m, noise=NoiseSchedulerConfig(
+        num_inference_timesteps=int(fx["steps"])))
+    lang, lang_mask, img, state, amask, freqs, noise = rdt_inputs(m_f32)
+
+    rollout16 = R.rdt_predict_action(
+        rcfg, params16, jax.random.PRNGKey(0),
+        jnp.asarray(lang, jnp.bfloat16), jnp.asarray(lang_mask),
+        jnp.asarray(img, jnp.bfloat16), jnp.asarray(state, jnp.bfloat16),
+        jnp.asarray(amask), jnp.asarray(freqs), init_noise=noise)
+    drift = _mse(np.asarray(rollout16, np.float32), fx["rollout"])
+    assert drift < 1e-3, drift
+    print(f"rdt_1b bf16 5-step rollout drift MSE vs f32 golden: {drift:.3e}")
+
+
+@pytest.mark.slow
+def test_rdt_1b_int8_anchor(rdt_1b_ported):
+    """int8 weight-quantized serving twin at the FLAGSHIP config vs the f32
+    golden rollout (re-pins the quant anchor at 2048x28x32; round-2's int8
+    anchor lived at tiny config)."""
+    from tests.make_golden_fixtures import rdt_inputs
+    from vla_touch_tpu.config import NoiseSchedulerConfig, rdt_1b
+    from vla_touch_tpu.models.rdt import quant_serve as Q
+    from vla_touch_tpu.models.rdt import runner as R
+
+    fx = _load("rdt_1b.npz")
+    m_f32, _, params = rdt_1b_ported
+    m = rdt_1b()
+    params16 = jax.tree.map(lambda p: jnp.asarray(p, jnp.bfloat16), params)
+    qparams = Q.quantize_rdt_params(params16)
+    rcfg = R.RDTRunnerConfig(model=m, noise=NoiseSchedulerConfig(
+        num_inference_timesteps=int(fx["steps"])))
+    lang, lang_mask, img, state, amask, freqs, noise = rdt_inputs(m_f32)
+
+    chunk = Q.rdt_predict_action_quant(
+        rcfg, qparams, jax.random.PRNGKey(0),
+        jnp.asarray(lang, jnp.bfloat16), jnp.asarray(lang_mask),
+        jnp.asarray(img, jnp.bfloat16), jnp.asarray(state, jnp.bfloat16),
+        jnp.asarray(amask), jnp.asarray(freqs), init_noise=noise)
+    got = np.asarray(chunk, np.float32)[..., 30:40].ravel()
+    want = np.asarray(fx["rollout"], np.float32)[..., 30:40].ravel()
+    corr = float(np.corrcoef(got, want)[0, 1])
+    mse = _mse(chunk, fx["rollout"])
+    assert corr > 0.999, (corr, mse)
+    print(f"rdt_1b int8: corr {corr:.6f}, MSE vs f32 golden {mse:.3e}")
+
+
 # ------------------------------------------------------------- BRIDGeR ----
 
 @pytest.mark.slow

@@ -55,14 +55,16 @@ def _launch_workers(nproc: int, port: int, local_devices: int = 4,
     return outs
 
 
-def _oracle_loss(n_data: int = 8, n_model: int = 1) -> float:
-    """Single-process loss on the identical global batch (8-device mesh from
-    conftest, same mesh shape as the workers' global mesh)."""
+def _oracle_loss(n_data: int = 8, n_model: int = 1,
+                 with_eval: bool = False):
+    """Single-process loss (and optionally post-step eval metrics) on the
+    identical global batch (8-device mesh from conftest, same mesh shape as
+    the workers' global mesh)."""
     from functools import partial
 
     from jax.sharding import PartitionSpec as P
 
-    from tests.multihost_worker import build_global_batch
+    from tests.multihost_worker import build_eval_batch, build_global_batch
     from vla_touch_tpu.config import NoiseSchedulerConfig, TrainConfig, \
         rdt_tiny
     from vla_touch_tpu.models.rdt import runner as R
@@ -75,25 +77,48 @@ def _oracle_loss(n_data: int = 8, n_model: int = 1) -> float:
     step_fn, state_sh = T.make_sharded_train_step(mesh, rcfg, tcfg)
     state = jax.jit(partial(T.init_train_state, rcfg, tcfg),
                     out_shardings=state_sh)(jax.random.PRNGKey(0))
-    batch = build_global_batch(2, n_data, rcfg.model)
+    micro = mesh.shape[mesh_lib.DATA_AXIS]
+    batch = build_global_batch(2, micro, rcfg.model)
     dev_batch = launch.host_local_batch(mesh, batch,
                                         spec=P(None, mesh_lib.DATA_AXIS))
-    _, metrics = step_fn(state, jax.random.PRNGKey(1), dev_batch)
-    return float(metrics["loss"])
+    new_state, metrics = step_fn(state, jax.random.PRNGKey(1), dev_batch)
+    if not with_eval:
+        return float(metrics["loss"])
+
+    from vla_touch_tpu.train.rdt_loop import sample_metrics
+
+    ebatch = build_eval_batch(micro, rcfg.model)
+    img = ebatch.pop("img_tokens")
+    dev_e = launch.host_local_batch(mesh, ebatch,
+                                    spec=P(mesh_lib.DATA_AXIS))
+    dev_img = launch.host_local_batch(mesh, img, spec=P(mesh_lib.DATA_AXIS))
+    sm = sample_metrics(rcfg, new_state.params, jax.random.PRNGKey(7),
+                        dev_e, dev_img)
+    return float(metrics["loss"]), sm
 
 
 @pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_two_process_train_step_matches_single_process():
     outs = _launch_workers(nproc=2, port=_free_port())
-    losses = []
+    losses, evals = [], []
     for out in outs:
         m = re.search(r"MHLOSS proc=(\d+) .* loss=([0-9.]+)", out)
         assert m, out[-2000:]
         losses.append(float(m.group(2)))
+        e = re.search(r"MHEVAL proc=\d+ mse=([0-9.]+) l2=([0-9.]+)", out)
+        assert e, out[-2000:]
+        evals.append((float(e.group(1)), float(e.group(2))))
     assert losses[0] == losses[1]  # replicated global loss
-    oracle = _oracle_loss()
+    assert evals[0] == evals[1]    # replicated global eval metrics
+    oracle, oracle_eval = _oracle_loss(with_eval=True)
     np.testing.assert_allclose(losses[0], oracle, rtol=2e-5)
+    # Cross-rank sampling eval equals the single-process oracle on the same
+    # global eval batch (≙ accelerator.gather_for_metrics parity).
+    np.testing.assert_allclose(evals[0][0], oracle_eval["sample_mse"],
+                               rtol=2e-4)
+    np.testing.assert_allclose(evals[0][1], oracle_eval["sample_l2err"],
+                               rtol=2e-4)
 
 
 @pytest.mark.slow

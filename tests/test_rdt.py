@@ -123,6 +123,38 @@ def test_predict_action_shapes_determinism_and_mask(rng):
     assert not np.allclose(np.asarray(out), np.asarray(out3))
 
 
+def test_reference_style_serving_matches_cached(rng):
+    """The measured-baseline path (per-step full KV recomputation, exactly
+    rdt_runner.py:122-165) must produce the same chunk as the cached
+    production path — the cache is a pure latency optimization."""
+    params = R.init_rdt(RCFG, jax.random.PRNGKey(0))
+    params["model"]["final_ffn"]["fc2"] = {
+        "kernel": jnp.asarray(rng.normal(
+            size=params["model"]["final_ffn"]["fc2"]["kernel"].shape) * 0.05,
+            jnp.float32),
+        "bias": params["model"]["final_ffn"]["fc2"]["bias"],
+    }
+    m = TINY
+    B, Ll = 2, 7
+    lang = jnp.asarray(_rand(rng, B, Ll, m.lang_token_dim))
+    lang_mask = jnp.ones((B, Ll), bool)
+    img = jnp.asarray(_rand(rng, B, m.img_cond_len, m.img_token_dim))
+    state = jnp.asarray(_rand(rng, B, 1, m.state_token_dim))
+    amask = np.zeros((B, 1, m.output_dim), np.float32)
+    amask[:, :, :10] = 1.0
+    amask = jnp.asarray(amask)
+    freqs = jnp.asarray([10.0, 10.0])
+    noise = jnp.asarray(_rand(rng, B, m.horizon, m.output_dim))
+
+    fast = R.rdt_predict_action(RCFG, params, jax.random.PRNGKey(1), lang,
+                                lang_mask, img, state, amask, freqs,
+                                init_noise=noise)
+    ref = R.rdt_predict_action_reference_style(
+        RCFG, params, jax.random.PRNGKey(1), lang, lang_mask, img, state,
+        amask, freqs, init_noise=noise)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)
+
+
 def test_forward_cached_matches_uncached(rng):
     """The KV-cached scan-body forward must equal the plain forward."""
     m = TINY

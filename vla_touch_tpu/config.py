@@ -63,8 +63,8 @@ class RDTModelConfig:
         return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
 
 
-def rdt_1b() -> RDTModelConfig:
-    return RDTModelConfig()
+def rdt_1b(**kw) -> RDTModelConfig:
+    return RDTModelConfig(**kw)
 
 
 def rdt_170m(**kw) -> RDTModelConfig:

@@ -87,8 +87,9 @@ def init_t5_encoder(cfg: T5EncoderConfig, key) -> dict:
 
 def t5_from_hf(sd: dict, num_layers: int) -> dict:
     """HF ``T5EncoderModel`` state dict -> our parameter tree.  Linear
-    weights transpose ((out, in) -> (in, out)); the relative bias table
-    transposes ((heads, buckets) -> (buckets, heads))."""
+    weights transpose ((out, in) -> (in, out)); the relative bias table is
+    an ``nn.Embedding`` whose weight is ALREADY (buckets, heads) in HF, so
+    it is stored as-is (no transpose)."""
     def lin(name):
         return np.ascontiguousarray(np.asarray(sd[name]).T)
 

@@ -64,7 +64,10 @@ class ViTSelfAttention(fnn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
+        """``mask``: optional additive attention bias broadcastable to
+        (B, heads, N, N) — e.g. a causal/padding mask with 0 for visible
+        and a large negative value for hidden (CLIP text path)."""
         c = self.cfg
         B, N, D = x.shape
         hd = D // c.num_heads
@@ -77,6 +80,8 @@ class ViTSelfAttention(fnn.Module):
 
         q, k, v = split(q), split(k), split(v)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd ** -0.5)
+        if mask is not None:
+            scores = scores + mask.astype(scores.dtype)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, N, D)
         return fnn.Dense(D, dtype=self.dtype, name="output")(out)
@@ -87,11 +92,11 @@ class ViTBlock(fnn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @fnn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         c = self.cfg
         h = fnn.LayerNorm(epsilon=c.layernorm_eps, dtype=self.dtype,
                           name="norm1")(x)
-        h = ViTSelfAttention(c, dtype=self.dtype, name="attention")(h)
+        h = ViTSelfAttention(c, dtype=self.dtype, name="attention")(h, mask)
         if c.use_layerscale:
             ls1 = self.param("layerscale1", fnn.initializers.ones,
                              (c.hidden_size,), jnp.float32)

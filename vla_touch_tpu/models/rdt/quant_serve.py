@@ -236,7 +236,8 @@ def rdt_predict_action_quant(cfg: R.RDTRunnerConfig, qparams, key,
                              action_mask, ctrl_freqs,
                              num_inference_timesteps: Optional[int] = None,
                              kv_cache: str = "bf16", matmul: str = "xla",
-                             prior_chunk=None, skip_steps: int = 0):
+                             prior_chunk=None, skip_steps: int = 0,
+                             init_noise=None):
     """Int8 serving twin of :func:`rdt_predict_action` (same signature with a
     quantized parameter tree from :func:`quantize_rdt_params`).
 
@@ -276,13 +277,17 @@ def rdt_predict_action_quant(cfg: R.RDTRunnerConfig, qparams, key,
                                    lang_mask, qd=qd)
         return out.astype(jnp.float32)
 
-    noise = jax.random.normal(key, (B, m.horizon, m.output_dim), jnp.float32)
+    if init_noise is None:
+        noise = jax.random.normal(key, (B, m.horizon, m.output_dim),
+                                  jnp.float32)
+    else:
+        noise = jnp.asarray(init_noise, jnp.float32)
     if skip_steps == 0:
         x_init = noise
     else:
         x_init = sched_lib.dpm_renoise(
-            jnp.asarray(prior_chunk, jnp.float32), noise, noise_sched,
-            steps, skip_steps)
+            jnp.asarray(prior_chunk, jnp.float32) * mask_h, noise,
+            noise_sched, steps, skip_steps)
     action = sched_lib.sample_dpm_solver(
         model_fn, x_init, noise_sched, steps,
         prediction_type=cfg.noise.prediction_type, start_index=skip_steps)

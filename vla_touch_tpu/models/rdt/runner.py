@@ -242,6 +242,64 @@ def rdt_predict_action(cfg: RDTRunnerConfig, params, key, lang_tokens,
     return action * mask_h
 
 
+@partial(jax.jit, static_argnames=("cfg", "num_inference_timesteps"))
+def rdt_predict_action_reference_style(cfg: RDTRunnerConfig, params, key,
+                                       lang_tokens, lang_mask, img_tokens,
+                                       state_tokens, action_mask, ctrl_freqs,
+                                       num_inference_timesteps:
+                                       Optional[int] = None,
+                                       init_noise=None):
+    """The reference's serving ALGORITHM, verbatim semantics, for a
+    measured (not estimated) baseline on the same chip.
+
+    Exactly ``rdt_runner.py:122-165`` + ``:225-250``: the three condition
+    adaptors run once before the loop, but every denoise step re-adapts the
+    noisy action chunk AND re-runs the FULL transformer — re-adding the
+    condition positional embeds and recomputing all 28 blocks'
+    cross-attention K/V over the 4374-token image condition each step
+    (``conditional_sample`` calls ``self.model(...)`` with raw conditions,
+    no cache).  No warm start, no condition-KV cache, bf16.
+
+    The delta between this and :func:`rdt_predict_action` is precisely what
+    the condition-KV cache buys (bench.py reports both).
+    """
+    m = cfg.model
+    module = RDTRunnerModule(m)
+    steps = num_inference_timesteps or cfg.noise.num_inference_timesteps
+    noise_sched = sched_lib.DiffusionSchedule.create(
+        cfg.noise.num_train_timesteps, cfg.noise.beta_schedule)
+
+    B = state_tokens.shape[0]
+    state_in = jnp.concatenate(
+        [state_tokens, action_mask.astype(state_tokens.dtype)], axis=2)
+    lang_c, img_c, state_traj = module.apply(
+        {"params": params}, lang_tokens, img_tokens, state_in,
+        method=RDTRunnerModule.adapt_conditions)
+
+    mask_h = jnp.broadcast_to(action_mask.astype(jnp.float32),
+                              (B, m.horizon, m.output_dim))
+
+    def model_fn(noisy_action, t):
+        action_in = jnp.concatenate([noisy_action, mask_h], axis=2)
+        action_traj = module.apply({"params": params}, action_in,
+                                   method=RDTRunnerModule.adapt_state)
+        x = jnp.concatenate([state_traj, action_traj], axis=1)
+        out = module.apply({"params": params}, x, ctrl_freqs, t, lang_c,
+                           img_c, lang_mask,
+                           method=RDTRunnerModule.forward_model)
+        return out.astype(jnp.float32)
+
+    if init_noise is None:
+        noise = jax.random.normal(key, (B, m.horizon, m.output_dim),
+                                  jnp.float32)
+    else:
+        noise = jnp.asarray(init_noise, jnp.float32)
+    action = sched_lib.sample_dpm_solver(
+        model_fn, noise, noise_sched, steps,
+        prediction_type=cfg.noise.prediction_type)
+    return action * mask_h
+
+
 def rdt_predict_action_warm(cfg: RDTRunnerConfig, params, key, lang_tokens,
                             lang_mask, img_tokens, state_tokens, action_mask,
                             ctrl_freqs, prior_chunk, skip_steps: int,

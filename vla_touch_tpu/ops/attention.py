@@ -48,6 +48,16 @@ def dot_product_attention(q, k, v, kv_mask=None, scale=None, use_pallas="auto"):
         # The einsum path fuses well under XLA at this short-query/long-KV
         # class, so "auto" = XLA until the kernel wins at a shape we care
         # about.
+        #
+        # RETENTION DECISION (round 3): the Pallas kernel is kept as
+        # measured-negative INFRASTRUCTURE, not as a production path.  Three
+        # variants were benchmarked and all lose at the serving shapes
+        # (bf16 tiled: above; int8-KV padded D->128: reads as many bytes as
+        # bf16; int8-KV transposed: lane-axis contraction forces VREG
+        # transposes, 266 ms).  It stays because (a) it is the template the
+        # WINNING w4a8 nibble-streaming matmul kernel was built from, and
+        # (b) self-attention over long sequences (planning-LLM prefill)
+        # is the shape class where flash kernels do win; revisit there.
         use_pallas = False
     if use_pallas:
         from vla_touch_tpu.ops.pallas_attention import flash_cross_attention

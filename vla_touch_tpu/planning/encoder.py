@@ -28,7 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as fnn
 
-from vla_touch_tpu.models.encoders.vit import CLIP_VIT_B16, ViTConfig, ViTEncoder
+from vla_touch_tpu.models.encoders.clip_text import (
+    CLIP_TEXT_B16, CLIPTextConfig, CLIPTextTower, causal_bias, eos_pool,
+    padding_bias)
+from vla_touch_tpu.models.encoders.vit import (
+    CLIP_VIT_B16, ViTBlock, ViTConfig, ViTEncoder)
 from vla_touch_tpu.utils import checkpoint as ckpt
 
 
@@ -140,6 +144,96 @@ class PromptLearningCLIPVision(fnn.Module):
         return x[:, 0]
 
 
+class PromptLearningCLIPText(fnn.Module):
+    """Deep prompt-learned CLIP text transformer with per-layer gating.
+
+    Equivalent of ``PromptLearningCLIPTextTransformer`` + the text half of
+    ``PromptLearningCLIPEncoderLayer`` (encoder.py:279-375, :66-124).
+    Unlike the vision path (which APPENDS prompt tokens), text prompts
+    REPLACE the ``num_prompts`` placeholder slots right after BOS
+    (positions ``[1, 1+n)``) — the tokenized template is expected to carry
+    that many filler tokens, so sequence length (and the causal mask and
+    EOS position) is preserved:
+
+    - the embedding-level prompt set overwrites slots ``[1, 1+n)``
+      (encoder.py:319-324);
+    - layers ``1..prompt_depth-1`` re-overwrite those slots with fresh
+      learnable tokens, then blend the block's prompt outputs with the
+      incoming ones through ``sigmoid(γ_i)`` (encoder.py:74-81, 108-124);
+    - layer ``prompt_depth`` (if < num_layers) drops the slots entirely
+      (encoder.py:88-91), shortening the sequence; the padding mask and
+      the EOS pooling position shift accordingly.
+    """
+
+    cfg: CLIPTextConfig = CLIP_TEXT_B16
+    num_prompts: int = 4
+    prompt_depth: int = 12
+    gate_prior: float = -3.0
+    dtype: jnp.dtype = jnp.float32
+
+    @fnn.compact
+    def __call__(self, input_ids, attention_mask=None):
+        c = self.cfg
+        B, L = input_ids.shape
+        n = self.num_prompts
+        tok = self.param("token_embed", fnn.initializers.normal(0.02),
+                         (c.vocab_size, c.hidden_size), jnp.float32)
+        pos = self.param("pos_embed", fnn.initializers.normal(0.01),
+                         (c.max_positions, c.hidden_size), jnp.float32)
+        x = (jnp.take(tok, input_ids, axis=0) + pos[None, :L]).astype(self.dtype)
+
+        prompts = self.param(
+            "prompts", fnn.initializers.normal(0.02),
+            (max(self.prompt_depth, 1), n, c.hidden_size), jnp.float32)
+        gates = self.param("gates",
+                           fnn.initializers.constant(self.gate_prior),
+                           (c.num_layers,), jnp.float32)
+
+        def put(x, i):
+            ctx = jnp.broadcast_to(prompts[i].astype(self.dtype),
+                                   (B, n, c.hidden_size))
+            return jnp.concatenate([x[:, :1], ctx, x[:, 1 + n:]], axis=1)
+
+        if self.prompt_depth > 0:
+            x = put(x, 0)
+
+        bias = causal_bias(L)
+        if attention_mask is not None:
+            bias = bias + padding_bias(attention_mask)
+        short_bias = causal_bias(L - n)
+        if attention_mask is not None:
+            short_bias = short_bias + padding_bias(jnp.concatenate(
+                [attention_mask[:, :1], attention_mask[:, 1 + n:]], axis=1))
+
+        vc = c.vit()
+        dropped = False
+        for i in range(c.num_layers):
+            replace = 0 < i < self.prompt_depth
+            before = None
+            if replace:
+                before = x[:, 1:1 + n]
+                x = put(x, i)
+            elif (i == self.prompt_depth and 0 < self.prompt_depth
+                  < c.num_layers):
+                x = jnp.concatenate([x[:, :1], x[:, 1 + n:]], axis=1)
+                dropped = True
+            x = ViTBlock(vc, dtype=self.dtype, name=f"block{i}")(
+                x, short_bias if dropped else bias)
+            if replace and i != c.num_layers - 1:
+                g = fnn.sigmoid(gates[i]).astype(self.dtype)
+                gated = g * x[:, 1:1 + n] + (1 - g) * before
+                x = jnp.concatenate([x[:, :1], gated, x[:, 1 + n:]], axis=1)
+
+        x = fnn.LayerNorm(epsilon=c.layernorm_eps, dtype=self.dtype,
+                          name="final_norm")(x)
+        eos = (jnp.asarray(input_ids) == c.eos_token_id).astype(jnp.int32)
+        pos_idx = jnp.argmax(eos, axis=-1)
+        if dropped:
+            pos_idx = pos_idx - n  # EOS sits after the removed slots
+        pooled = x[jnp.arange(B), pos_idx]
+        return x, pooled
+
+
 class ViFiCLIPVideo(fnn.Module):
     """Tactile-video encoder: per-frame CLIP, mean-pool, L2 normalize
     (encoder.py:401-412)."""
@@ -156,6 +250,102 @@ class ViFiCLIPVideo(fnn.Module):
         video = feats.reshape(B, L, -1).mean(axis=1)
         return video / jnp.maximum(
             jnp.linalg.norm(video, axis=-1, keepdims=True), 1e-12)
+
+
+class ViFiCLIPModel(fnn.Module):
+    """Full ViFiCLIP: tactile-video branch + text branch + dual logit scales.
+
+    Equivalent of ``ViFiCLIP`` (encoder.py:389-423): frame-wise CLIP vision
+    encoding mean-pooled over frames, CLIP text encoding pooled at EOS, both
+    L2-normalized, plus the two learnable temperature parameters
+    ``logit_scale_tactile`` / ``logit_scale_text`` (encoder.py:398-399,
+    init log(1/0.07)).  With ``prompt_learning=True`` both towers run the
+    deep-prompt variants (``PromptLearningCLIPModel``, encoder.py:378-386).
+
+    ``freeze_text_encoder`` (encoder.py:393-396) is a training-time concern
+    here: pass the text subtree through ``jax.lax.stop_gradient`` / exclude
+    it from the trainable tree (see ``train_encoder.train_vificlip_contrastive``).
+    """
+
+    vision_cfg: ViTConfig = CLIP_VIT_B16
+    text_cfg: CLIPTextConfig = CLIP_TEXT_B16
+    prompt_learning: bool = False
+    num_prompts: int = 4
+    prompt_depth_vision: int = 9
+    prompt_depth_text: int = 9
+    gate_prior: float = -3.0
+    dtype: jnp.dtype = jnp.float32
+
+    @fnn.compact
+    def __call__(self, frames, input_ids=None, attention_mask=None):
+        """frames (B, L, H, W, 3); input_ids (B2, Lt) or None.
+
+        Returns ``(video_features, text_features, logit_scales)`` with unit
+        L2 norm features; ``text_features`` is None when ``input_ids`` is
+        (encoder.py:412-420 semantics)."""
+        B, L, H, W, C = frames.shape
+        flat = frames.reshape(B * L, H, W, C)
+        if self.prompt_learning:
+            feats = PromptLearningCLIPVision(
+                self.vision_cfg, num_prompts=self.num_prompts,
+                prompt_depth=self.prompt_depth_vision,
+                gate_prior=self.gate_prior, dtype=self.dtype,
+                name="vision")(flat)
+        else:
+            feats = CLIPVisionPooled(self.vision_cfg, dtype=self.dtype,
+                                     name="vision")(flat)
+        video = feats.reshape(B, L, -1).mean(axis=1)
+        video = video / jnp.maximum(
+            jnp.linalg.norm(video, axis=-1, keepdims=True), 1e-12)
+
+        text = None
+        if input_ids is not None:
+            if self.prompt_learning:
+                _, pooled = PromptLearningCLIPText(
+                    self.text_cfg, num_prompts=self.num_prompts,
+                    prompt_depth=self.prompt_depth_text,
+                    gate_prior=self.gate_prior, dtype=self.dtype,
+                    name="text")(input_ids, attention_mask)
+            else:
+                _, pooled = CLIPTextTower(self.text_cfg, dtype=self.dtype,
+                                          name="text")(input_ids,
+                                                       attention_mask)
+            text = pooled / jnp.maximum(
+                jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
+
+        scales = {
+            "tactile": self.param("logit_scale_tactile",
+                                  fnn.initializers.constant(
+                                      float(np.log(1 / 0.07))), ()),
+            "text": self.param("logit_scale_text",
+                               fnn.initializers.constant(
+                                   float(np.log(1 / 0.07))), ()),
+        }
+        return video, text, scales
+
+
+def vificlip_contrastive_loss(video, text, scales, max_scale: float = 100.0):
+    """Symmetric InfoNCE over a matched (video_i, text_i) batch, one
+    direction per learnable scale.
+
+    The reference declares both scales (encoder.py:398-399) but its shipped
+    forward never computes logits (returns None, :421-423) — this is the
+    training objective those parameters exist for, the CLIP-standard
+    cross-entropy over ``scale · <v, t>`` in both directions with the
+    tactile scale tempering video→text and the text scale text→video.
+    """
+    s_v = jnp.minimum(jnp.exp(scales["tactile"]), max_scale)
+    s_t = jnp.minimum(jnp.exp(scales["text"]), max_scale)
+    sims = video @ text.T                       # (B, B)
+    labels = jnp.arange(video.shape[0])
+    lv = optax_softmax_ce(sims * s_v, labels)
+    lt = optax_softmax_ce(sims.T * s_t, labels)
+    return 0.5 * (lv + lt)
+
+
+def optax_softmax_ce(logits, labels):
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(logp[jnp.arange(logits.shape[0]), labels])
 
 
 class Adapter(fnn.Module):

@@ -92,6 +92,86 @@ def train_property_encoder(data_path: str, output_dir: str,
     return st
 
 
+def train_vificlip_contrastive(batches, *, vision_cfg=None, text_cfg=None,
+                               prompt_learning: bool = True,
+                               freeze_text_encoder: bool = True,
+                               num_prompts: int = 4,
+                               prompt_depth_vision: int = 9,
+                               prompt_depth_text: int = 9,
+                               epochs: int = 1, lr: float = 1e-4,
+                               seed: int = 0, params=None,
+                               log_path: Optional[str] = None):
+    """Train a ViFiCLIP the way the reference tactile-encoder checkpoints
+    were produced: symmetric video<->text contrastive objective over the
+    dual logit scales, with the text tower optionally frozen
+    (encoder.py:389-399 ``freeze_text_encoder``).
+
+    ``batches``: iterable of dicts with ``frames`` (B, L, H, W, 3) pixel
+    videos, ``input_ids`` (B, Lt) CLIP token ids (row i is the caption of
+    video i), and optional ``attention_mask`` (B, Lt).  Re-iterated once
+    per epoch (pass a list, or a generator factory result per epoch).
+
+    Returns ``(params, losses)``.
+    """
+    vision_cfg = vision_cfg or PE.CLIP_VIT_B16
+    text_cfg = text_cfg or PE.CLIP_TEXT_B16
+    model = PE.ViFiCLIPModel(
+        vision_cfg=vision_cfg, text_cfg=text_cfg,
+        prompt_learning=prompt_learning, num_prompts=num_prompts,
+        prompt_depth_vision=prompt_depth_vision,
+        prompt_depth_text=prompt_depth_text)
+
+    batches = list(batches)
+    if not batches:
+        raise ValueError("no contrastive batches")
+    b0 = batches[0]
+    mask0 = b0.get("attention_mask")
+    if params is None:
+        params = model.init(
+            jax.random.PRNGKey(seed), jnp.asarray(b0["frames"]),
+            jnp.asarray(b0["input_ids"]),
+            None if mask0 is None else jnp.asarray(mask0))["params"]
+
+    def label(path, _):
+        # Frozen-text contract: every text-tower leaf is held still; the
+        # logit scales always train (they are top-level params).
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        return ("freeze" if (freeze_text_encoder and top == "text")
+                else "train")
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    opt = optax.multi_transform(
+        {"train": optax.adamw(lr, weight_decay=1e-6),
+         "freeze": optax.set_to_zero()}, labels)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, frames, input_ids, attn_mask):
+        def f(p):
+            video, text, scales = model.apply(
+                {"params": p}, frames, input_ids, attn_mask)
+            return PE.vificlip_contrastive_loss(video, text, scales)
+
+        loss, g = jax.value_and_grad(f)(params)
+        updates, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for epoch in range(epochs):
+        for batch in batches:
+            am = batch.get("attention_mask")
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(batch["frames"]),
+                jnp.asarray(batch["input_ids"]),
+                None if am is None else jnp.asarray(am))
+            losses.append(float(loss))
+            if log_path is not None:
+                with open(log_path, "a") as f:
+                    f.write(json.dumps({"epoch": epoch,
+                                        "loss": float(loss)}) + "\n")
+    return params, losses
+
+
 def evaluate_encoder(st: PE.TactileEncoderState, data_path: str,
                      datasets=("physiclear",), split: str = "test",
                      frame_size: int = 224, max_frames: int = 4,

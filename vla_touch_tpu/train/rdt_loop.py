@@ -54,8 +54,16 @@ def encode_images(vision_cfg: ViTConfig, vision_params, images, image_mask):
     return jax.lax.stop_gradient(tokens.reshape(B, -1, tokens.shape[-1]))
 
 
-def sample_metrics(rcfg: R.RDTRunnerConfig, params, key, batch, img_tokens):
-    """Full-rollout eval metrics (≙ ``train/sample.py:46-93``)."""
+@partial(jax.jit, static_argnames=("rcfg",))
+def _sample_metric_sums(rcfg: R.RDTRunnerConfig, params, key, batch,
+                        img_tokens):
+    """Eval rollout -> GLOBAL metric sums as one compiled program.
+
+    All reductions happen inside jit, so when the inputs are global arrays
+    sharded over the data axis of a multi-host mesh, XLA inserts the
+    cross-host collectives and every process receives the replicated global
+    sums — the TPU-idiom equivalent of the reference's
+    ``accelerator.gather_for_metrics`` (``train/sample.py:67-70,80,85``)."""
     pred = R.rdt_predict_action(
         rcfg, params, key,
         jnp.asarray(batch["lang_tokens"]), jnp.asarray(batch["lang_mask"]),
@@ -65,13 +73,28 @@ def sample_metrics(rcfg: R.RDTRunnerConfig, params, key, batch, img_tokens):
     gt = jnp.asarray(batch["action_gt"])
     mask = jnp.asarray(batch["action_mask"])  # (B, 1, 128)
     diff = (pred - gt) * mask
-    denom = jnp.maximum(jnp.sum(mask) * gt.shape[1], 1)
-    mse = jnp.sum(jnp.square(diff)) / denom
     # state-norm-scaled L2 (sample.py:61-66).
     norm = jnp.maximum(jnp.linalg.norm(
         jnp.asarray(batch["state_norm"]), axis=-1, keepdims=True), 1e-6)
-    l2 = jnp.mean(jnp.linalg.norm(diff, axis=-1) / norm)
-    return {"sample_mse": float(mse), "sample_l2err": float(l2)}
+    return {
+        "se_sum": jnp.sum(jnp.square(diff)),
+        "mask_sum": jnp.sum(mask) * gt.shape[1],
+        "l2_sum": jnp.sum(jnp.linalg.norm(diff, axis=-1) / norm),
+        "rows": jnp.asarray(gt.shape[0] * gt.shape[1], jnp.float32),
+    }
+
+
+def sample_metrics(rcfg: R.RDTRunnerConfig, params, key, batch, img_tokens):
+    """Full-rollout eval metrics (≙ ``train/sample.py:46-93``).  Global
+    across all hosts when the batch is a mesh-sharded global array."""
+    needed = ("lang_tokens", "lang_mask", "state_tokens", "action_gt",
+              "action_mask", "ctrl_freqs", "state_norm")
+    batch = {k: batch[k] for k in needed}
+    s = _sample_metric_sums(rcfg, params, key, batch, img_tokens)
+    return {
+        "sample_mse": float(s["se_sum"] / jnp.maximum(s["mask_sum"], 1.0)),
+        "sample_l2err": float(s["l2_sum"] / jnp.maximum(s["rows"], 1.0)),
+    }
 
 
 @dataclasses.dataclass

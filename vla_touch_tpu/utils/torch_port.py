@@ -350,6 +350,48 @@ def dinov2_from_hf(sd: dict, num_layers: int) -> dict:
     return {"vit": vit}
 
 
+def clip_vision_from_hf(sd: dict, num_layers: int,
+                        prefix: str = "vision_model.") -> dict:
+    """HF ``CLIPVisionModel`` state dict -> :class:`CLIPVisionPooled` params
+    (the Octopi tactile tower, ``openai/clip-vit-base-patch16``).
+
+    Same block mapping as SigLIP (both are HF CLIP-style encoders) plus the
+    CLS token, CLIP's pre-layernorm (HF's historically misspelled
+    ``pre_layrnorm``), and the bias-free patch conv."""
+    vit: dict = {
+        "patch_embed": conv2d(sd[f"{prefix}embeddings.patch_embedding.weight"]),
+        "cls_token": np.asarray(
+            sd[f"{prefix}embeddings.class_embedding"])[None, None],
+        "pos_embed": np.asarray(
+            sd[f"{prefix}embeddings.position_embedding.weight"])[None],
+        "pre_norm": layernorm(sd[f"{prefix}pre_layrnorm.weight"],
+                              sd[f"{prefix}pre_layrnorm.bias"]),
+        "final_norm": layernorm(sd[f"{prefix}post_layernorm.weight"],
+                                sd[f"{prefix}post_layernorm.bias"]),
+    }
+    for i in range(num_layers):
+        p = f"{prefix}encoder.layers.{i}."
+        vit[f"block{i}"] = {
+            "norm1": layernorm(sd[f"{p}layer_norm1.weight"],
+                               sd[f"{p}layer_norm1.bias"]),
+            "attention": {
+                "query": linear(sd[f"{p}self_attn.q_proj.weight"],
+                                sd[f"{p}self_attn.q_proj.bias"]),
+                "key": linear(sd[f"{p}self_attn.k_proj.weight"],
+                              sd[f"{p}self_attn.k_proj.bias"]),
+                "value": linear(sd[f"{p}self_attn.v_proj.weight"],
+                                sd[f"{p}self_attn.v_proj.bias"]),
+                "output": linear(sd[f"{p}self_attn.out_proj.weight"],
+                                 sd[f"{p}self_attn.out_proj.bias"]),
+            },
+            "norm2": layernorm(sd[f"{p}layer_norm2.weight"],
+                               sd[f"{p}layer_norm2.bias"]),
+            "fc1": linear(sd[f"{p}mlp.fc1.weight"], sd[f"{p}mlp.fc1.bias"]),
+            "fc2": linear(sd[f"{p}mlp.fc2.weight"], sd[f"{p}mlp.fc2.bias"]),
+        }
+    return {"vit": vit}
+
+
 def siglip_from_hf(sd: dict, num_layers: int, prefix: str = "vision_model.") -> dict:
     """HF ``SiglipVisionModel`` state dict -> :class:`SiglipVisionEncoder`
     params (attention-pool head skipped; the tower uses patch tokens)."""
