@@ -308,3 +308,41 @@ def test_pallas_attention_q8t_matches_dequantized_xla(rng):
                                atol=5e-3)
     err = np.abs(np.asarray(got) - np.asarray(ref_f32)).max()
     assert err < 0.05, err
+
+
+def test_attention_head_chunking_matches_dense(rng):
+    """The head-chunked serving path (B>1 score-tile fix) must equal the
+    dense path exactly, including ragged kv masks."""
+    from vla_touch_tpu.ops.attention import _attention_xla
+
+    B, Lq, Lkv, H, D = 2, 9, 33, 8, 16
+    q = jnp.asarray(rng.normal(size=(B, Lq, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Lkv, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Lkv, H, D)), jnp.float32)
+    mask = np.ones((B, Lkv), bool)
+    mask[0, 20:] = False
+    mask[1, 5:] = False
+    mask = jnp.asarray(mask)
+
+    dense = _attention_xla(q, k, v, kv_mask=mask, head_groups=1)
+    for g in (2, 4, 8):
+        chunked = _attention_xla(q, k, v, kv_mask=mask, head_groups=g)
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense),
+                                   atol=1e-6, rtol=1e-6)
+
+
+def test_attention_head_group_policy():
+    """Auto policy: B=1 at the RDT-1B serving shape stays dense (37.5 MB
+    tile, preserving the measured fused regime); B=4 (150 MB) chunks into
+    2 groups; group count always divides H."""
+    from vla_touch_tpu.ops.attention import _head_groups
+
+    assert _head_groups(1, 32, 67, 4374) == 1
+    assert _head_groups(2, 32, 67, 4374) == 1      # 75 MB still fuses
+    assert _head_groups(4, 32, 67, 4374) == 2
+    assert _head_groups(8, 32, 67, 4374) == 4
+    # non-power-of-two head counts round up to a divisor of H, and the
+    # per-group tile always lands within the budget
+    g = _head_groups(16, 12, 67, 4374)
+    assert 12 % g == 0
+    assert (16 * 12 * 67 * 4374 * 4) / g <= 80 * 1024 * 1024

@@ -23,7 +23,28 @@ import jax.numpy as jnp
 _NEG_INF = -1e30
 
 
-def _attention_xla(q, k, v, kv_mask=None, scale=None):
+# Largest f32 score tile XLA still keeps fused in VMEM (QK^T -> softmax ->
+# PV without HBM materialization).  Measured on v5e at the RDT-1B serving
+# shape (Lq=67, Lkv=4374, H=32, D=64): the B=1 tile (37.5 MB) fuses
+# (0.58 ms/op); the B=4 tile (150 MB) spills and costs 1.96 ms/op, while
+# chunking B=4 into 2 head groups (75 MB tiles, still fused) restores it
+# (0.80 ms/op, 2.46x; 4 groups measured 0.83 ms).  See ROUND_NOTES
+# "B>1 serving analysis".
+_SCORE_TILE_BYTES = 80 * 1024 * 1024
+
+
+def _head_groups(B: int, H: int, Lq: int, Lkv: int) -> int:
+    """Smallest divisor of H whose per-group f32 score tile fits the
+    measured fusion budget."""
+    tile = B * H * Lq * Lkv * 4
+    need = max(1, -(-tile // _SCORE_TILE_BYTES))
+    g = min(need, H)
+    while H % g:
+        g += 1
+    return g
+
+
+def _attention_xla_dense(q, k, v, kv_mask=None, scale=None):
     B, Lq, H, D = q.shape
     scale = D ** -0.5 if scale is None else scale
     qf = q.astype(jnp.float32) * scale
@@ -33,6 +54,34 @@ def _attention_xla(q, k, v, kv_mask=None, scale=None):
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
     return out.astype(q.dtype)
+
+
+def _attention_xla(q, k, v, kv_mask=None, scale=None, head_groups=None):
+    """Einsum attention, head-chunked when the f32 score tile would spill.
+
+    ``head_groups``: explicit group count for tests; None = auto policy.
+    Groups run sequentially under ``lax.map`` so each group's score tile
+    stays within the fusion budget — this is what makes B>1 serving scale
+    (measured model-level: B=4 denoise 131.9 -> 82.9 ms, full chunk
+    145.8 -> 97.2 ms = 41 chunks/s).
+    """
+    B, Lq, H, D = q.shape
+    Lkv = k.shape[1]
+    g = _head_groups(B, H, Lq, Lkv) if head_groups is None else head_groups
+    if g <= 1:
+        return _attention_xla_dense(q, k, v, kv_mask=kv_mask, scale=scale)
+
+    hg = H // g
+    qg = q.reshape(B, Lq, g, hg, D).transpose(2, 0, 1, 3, 4)
+    kg = k.reshape(B, Lkv, g, hg, D).transpose(2, 0, 1, 3, 4)
+    vg = v.reshape(B, Lkv, g, hg, D).transpose(2, 0, 1, 3, 4)
+
+    def one(args):
+        qq, kk, vv = args
+        return _attention_xla_dense(qq, kk, vv, kv_mask=kv_mask, scale=scale)
+
+    out = jax.lax.map(one, (qg, kg, vg))       # (g, B, Lq, H/g, D)
+    return out.transpose(1, 2, 0, 3, 4).reshape(B, Lq, H, D)
 
 
 def dot_product_attention(q, k, v, kv_mask=None, scale=None, use_pallas="auto"):
