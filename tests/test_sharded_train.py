@@ -113,3 +113,45 @@ def test_zero_sharding_places_moments_on_data_axis():
     assert sh["a"].spec == jax.sharding.PartitionSpec("data", None)
     assert sh["b"].spec == jax.sharding.PartitionSpec()  # 3 not divisible
     assert sh["c"].spec == jax.sharding.PartitionSpec()
+
+
+def test_tp_sharded_serving_matches_single_device(rng):
+    """Inference-time tensor parallelism: rdt_predict_action over TP-sharded
+    params (the serving analogue of the TP train step — how a model larger
+    than one chip, or a latency-critical deployment, serves on a mesh) must
+    reproduce the single-device chunk."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = mesh_lib.make_mesh(n_data=2, n_model=4)
+    params = R.init_rdt(RCFG, jax.random.PRNGKey(0))
+    params["model"]["final_ffn"]["fc2"]["kernel"] = jnp.asarray(
+        rng.normal(size=params["model"]["final_ffn"]["fc2"]["kernel"].shape)
+        * 0.05, jnp.float32)
+
+    m = TINY
+    B, Ll = 2, 6
+    lang = jnp.asarray(rng.normal(size=(B, Ll, m.lang_token_dim)), jnp.float32)
+    lang_mask = jnp.ones((B, Ll), bool)
+    img = jnp.asarray(rng.normal(size=(B, m.img_cond_len, m.img_token_dim)),
+                      jnp.float32)
+    state = jnp.asarray(rng.normal(size=(B, 1, m.state_token_dim)), jnp.float32)
+    amask = jnp.ones((B, 1, m.output_dim), jnp.float32)
+    freqs = jnp.full((B,), 10.0)
+    noise = jnp.asarray(rng.normal(size=(B, m.horizon, m.output_dim)),
+                        jnp.float32)
+
+    want = R.rdt_predict_action(RCFG, params, jax.random.PRNGKey(1), lang,
+                                lang_mask, img, state, amask, freqs,
+                                init_noise=noise)
+
+    sh = mesh_lib.rdt_param_shardings(mesh, params)
+    params_tp = jax.tree.map(
+        lambda p, s: jax.device_put(p, s), params, sh)
+    rep = NamedSharding(mesh, P())
+    args = [jax.device_put(x, rep)
+            for x in (lang, lang_mask, img, state, amask, freqs, noise)]
+    got = R.rdt_predict_action(RCFG, params_tp, jax.random.PRNGKey(1),
+                               args[0], args[1], args[2], args[3], args[4],
+                               args[5], init_noise=args[6])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
