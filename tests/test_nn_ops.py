@@ -343,6 +343,10 @@ def test_attention_head_group_policy():
     assert _head_groups(8, 32, 67, 4374) == 4
     # non-power-of-two head counts round up to a divisor of H, and the
     # per-group tile always lands within the budget
-    g = _head_groups(16, 12, 67, 4374)
+    g = _head_groups(8, 12, 67, 4374)
     assert 12 % g == 0
-    assert (16 * 12 * 67 * 4374 * 4) / g <= 80 * 1024 * 1024
+    assert (8 * 12 * 67 * 4374 * 4) / g <= 80 * 1024 * 1024
+    # training regime (B > 8): policy stays dense — the chunked program
+    # is only measured for serving batches
+    assert _head_groups(16, 12, 67, 4374) == 1
+    assert _head_groups(64, 32, 67, 4374) == 1

@@ -35,7 +35,14 @@ _SCORE_TILE_BYTES = 80 * 1024 * 1024
 
 def _head_groups(B: int, H: int, Lq: int, Lkv: int) -> int:
     """Smallest divisor of H whose per-group f32 score tile fits the
-    measured fusion budget."""
+    measured fusion budget.
+
+    Applies only in the serving regime (B <= 8, where the win was
+    measured); large-batch training keeps XLA's own scheduling — the
+    chunked program (and its transpose in backward) is an unmeasured
+    change there."""
+    if B > 8:
+        return 1
     tile = B * H * Lq * Lkv * 4
     need = max(1, -(-tile // _SCORE_TILE_BYTES))
     g = min(need, H)

@@ -229,7 +229,12 @@ class PromptLearningCLIPText(fnn.Module):
         eos = (jnp.asarray(input_ids) == c.eos_token_id).astype(jnp.int32)
         pos_idx = jnp.argmax(eos, axis=-1)
         if dropped:
-            pos_idx = pos_idx - n  # EOS sits after the removed slots
+            # EOS sits after the removed slots.  PRECONDITION (the
+            # reference's tokenized-template contract): EOS index >= 1+n —
+            # the caption must carry the n filler slots.  Clamp so a
+            # violating row pools a defined in-range position instead of
+            # negative-index wrapping to the padded tail.
+            pos_idx = jnp.maximum(pos_idx - n, 0)
         pooled = x[jnp.arange(B), pos_idx]
         return x, pooled
 
@@ -282,7 +287,7 @@ class ViFiCLIPModel(fnn.Module):
 
         Returns ``(video_features, text_features, logit_scales)`` with unit
         L2 norm features; ``text_features`` is None when ``input_ids`` is
-        (encoder.py:412-420 semantics)."""
+        None (encoder.py:412-420 semantics)."""
         B, L, H, W, C = frames.shape
         flat = frames.reshape(B * L, H, W, C)
         if self.prompt_learning:
@@ -334,18 +339,17 @@ def vificlip_contrastive_loss(video, text, scales, max_scale: float = 100.0):
     cross-entropy over ``scale · <v, t>`` in both directions with the
     tactile scale tempering video→text and the text scale text→video.
     """
+    import optax
+
     s_v = jnp.minimum(jnp.exp(scales["tactile"]), max_scale)
     s_t = jnp.minimum(jnp.exp(scales["text"]), max_scale)
     sims = video @ text.T                       # (B, B)
     labels = jnp.arange(video.shape[0])
-    lv = optax_softmax_ce(sims * s_v, labels)
-    lt = optax_softmax_ce(sims.T * s_t, labels)
+    lv = optax.softmax_cross_entropy_with_integer_labels(
+        sims * s_v, labels).mean()
+    lt = optax.softmax_cross_entropy_with_integer_labels(
+        sims.T * s_t, labels).mean()
     return 0.5 * (lv + lt)
-
-
-def optax_softmax_ce(logits, labels):
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.mean(logp[jnp.arange(logits.shape[0]), labels])
 
 
 class Adapter(fnn.Module):

@@ -256,6 +256,14 @@ def generate_physiclear_scenario_qa(samples: dict, num_samples: int, *,
     info = PC.SCENARIOS
     use = {k: v for k, v in info.items()
            if scenarios is None or k in scenarios}
+    # Validate every candidate scenario up front — a malformed entry must
+    # fail deterministically, not only when the RNG happens to draw it.
+    for name, sc in use.items():
+        if len(sc["target_sample"]) != len(sc["all_candidate"]):
+            raise ValueError(
+                f"scenario {name!r}: target_sample "
+                f"({len(sc['target_sample'])}) and all_candidate "
+                f"({len(sc['all_candidate'])}) must be parallel lists")
     rows, seen = [], set()
     # Distinct rows are capped by the available unique recordings (the
     # reference dedups the same way); keep drawing until the request is met
@@ -266,11 +274,6 @@ def generate_physiclear_scenario_qa(samples: dict, num_samples: int, *,
         attempts += 1
         name = list(use)[int(rng.integers(len(use)))]
         sc = use[name]
-        if len(sc["target_sample"]) != len(sc["all_candidate"]):
-            raise ValueError(
-                f"scenario {name!r}: target_sample "
-                f"({len(sc['target_sample'])}) and all_candidate "
-                f"({len(sc['all_candidate'])}) must be parallel lists")
         options = [f"{chr(ord('A') + i)})"
                    for i in range(len(sc["all_candidate"]))]
         ridx = int(rng.integers(len(sc["target_sample"])))

@@ -148,6 +148,11 @@ def train_vificlip_contrastive(batches, *, vision_cfg=None, text_cfg=None,
     @jax.jit
     def step(params, opt_state, frames, input_ids, attn_mask):
         def f(p):
+            if freeze_text_encoder:
+                # Don't backprop through the frozen tower at all (the
+                # multi_transform zeroing below additionally keeps adamw
+                # weight decay off it).
+                p = dict(p, text=jax.lax.stop_gradient(p["text"]))
             video, text, scales = model.apply(
                 {"params": p}, frames, input_ids, attn_mask)
             return PE.vificlip_contrastive_loss(video, text, scales)
