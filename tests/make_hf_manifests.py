@@ -32,7 +32,8 @@ import torch
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-OUT = os.path.join(os.path.dirname(__file__), "fixtures", "hf_manifests")
+OUT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "vla_touch_tpu", "data", "hf_manifests")
 
 
 def dump(name, module):
