@@ -91,6 +91,91 @@ def test_rdt_ema_decay_schedule():
     assert 0 < d10 < d1000 <= 0.9999
 
 
+def test_stochastic_round_bf16_unbiased():
+    import jax
+    import jax.numpy as jnp
+
+    from vla_touch_tpu.utils.ema import stochastic_round_bf16
+
+    # A value a quarter of the way between bf16 neighbours (ulp at 1.0 is
+    # 2^-7): nearest rounding always picks the low side; SR must pick the
+    # high side ~1/4 of the time and be unbiased in the mean.
+    x = jnp.full((20000,), 1.0 + 2.0 ** -9, jnp.float32)
+    r = stochastic_round_bf16(jax.random.PRNGKey(0), x).astype(jnp.float32)
+    assert set(np.unique(np.asarray(r))) == {1.0, 1.0 + 2.0 ** -7}
+    np.testing.assert_allclose(float(r.mean()), 1.0 + 2.0 ** -9, atol=1e-4)
+    # Exactly-representable values pass through untouched.
+    y = jnp.asarray([0.0, 1.0, -2.5, 2.0 ** -15], jnp.float32)
+    r2 = stochastic_round_bf16(jax.random.PRNGKey(1), y)
+    np.testing.assert_array_equal(np.asarray(r2, np.float32), np.asarray(y))
+
+
+def test_bf16_sr_ema_tracks_where_nearest_rounding_stalls():
+    """decay=0.999 updates are <=1e-3 here — under half a bf16 ulp (2^-8
+    around [1,2)), so a nearest-rounded bf16 EMA never moves off 1.0.  The
+    SR shadow must converge to the (constant) params like the f32 oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from vla_touch_tpu.utils import ema as ema_lib
+
+    target = {"w": jnp.full((256,), 2.0, jnp.float32)}
+    start = {"w": jnp.ones((256,), jnp.float32)}
+    decay = 0.999
+    n = 3000
+
+    def run(dtype):
+        st = ema_lib.init(start, dtype=dtype)
+
+        def body(carry, k):
+            return ema_lib.update(carry, target, decay,
+                                  key=(k if dtype == jnp.bfloat16
+                                       else None)), None
+
+        keys = jax.random.split(jax.random.PRNGKey(0), n)
+        st, _ = jax.lax.scan(body, st, keys)
+        return float(jnp.mean(st.shadow["w"].astype(jnp.float32)))
+
+    f32 = run(jnp.float32)      # ~= 2 - 0.999^3000 ~= 1.95
+    sr = run(jnp.bfloat16)
+    assert abs(sr - f32) < 0.02, (sr, f32)
+    assert f32 > 1.9
+
+
+def test_train_step_ema_dtype_bf16(rng):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from vla_touch_tpu.config import NoiseSchedulerConfig, TrainConfig, rdt_tiny
+    from vla_touch_tpu.models.rdt import runner as R
+    from vla_touch_tpu.train import rdt_train as T
+
+    rcfg = R.RDTRunnerConfig(model=rdt_tiny(), noise=NoiseSchedulerConfig())
+    tcfg = TrainConfig(lr_warmup_steps=0, ema_dtype="bfloat16",
+                       accum_dtype="bfloat16")
+    state = T.init_train_state(rcfg, tcfg, jax.random.PRNGKey(0))
+    assert jax.tree.leaves(state.ema.shadow)[0].dtype == jnp.bfloat16
+    m = rcfg.model
+    B = 2
+    r = lambda *s: jnp.asarray(rng.normal(size=(1, B) + s), jnp.float32)
+    batch = {
+        "lang_tokens": r(6, m.lang_token_dim),
+        "lang_mask": jnp.ones((1, B, 6), bool),
+        "img_tokens": r(m.img_cond_len, m.img_token_dim),
+        "state_tokens": r(1, m.state_token_dim),
+        "action_gt": r(m.horizon, m.output_dim),
+        "action_mask": jnp.ones((1, B, 1, m.output_dim)),
+        "ctrl_freqs": jnp.full((1, B), 10.0),
+    }
+    new_state, metrics = jax.jit(
+        lambda s, k, b: T.train_step(rcfg, tcfg, s, k, b)
+    )(state, jax.random.PRNGKey(1), batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert jax.tree.leaves(new_state.ema.shadow)[0].dtype == jnp.bfloat16
+
+
 def test_serving_app_gated_without_fastapi(monkeypatch):
     import builtins
     import sys

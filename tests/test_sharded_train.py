@@ -106,6 +106,38 @@ def test_8bit_adam_train_step(rng):
     assert d > 0
 
 
+def test_bf16_grad_accum_close_to_f32(rng):
+    """accum_dtype='bfloat16' (the 1B-accum4-on-one-chip memory lever) must
+    produce an optimizer step close to the f32-accumulator oracle: the
+    accumulator rounding (~2^-8 relative per add) is far below gradient
+    noise between microbatches."""
+    import dataclasses
+
+    batch = _batch(rng, accum=4, micro=2)
+    outs = {}
+    for dt in ("float32", "bfloat16"):
+        tcfg = dataclasses.replace(TCFG, accum_dtype=dt)
+        state = T.init_train_state(RCFG, tcfg, jax.random.PRNGKey(0))
+        new_state, metrics = jax.jit(
+            lambda s, k, b, t=tcfg: T.train_step(RCFG, t, s, k, b)
+        )(state, jax.random.PRNGKey(1), batch)
+        outs[dt] = (new_state, metrics, state)
+
+    np.testing.assert_allclose(float(outs["bfloat16"][1]["loss"]),
+                               float(outs["float32"][1]["loss"]), rtol=1e-5)
+    # Per-leaf relative error of the parameter UPDATE (not the params —
+    # updates are ~1e-4 of param scale and carry all the signal).
+    p0 = jax.tree.leaves(outs["float32"][2].params)
+    pf = jax.tree.leaves(outs["float32"][0].params)
+    pb = jax.tree.leaves(outs["bfloat16"][0].params)
+    num = den = 0.0
+    for a, f, b in zip(p0, pf, pb):
+        num += float(jnp.sum(jnp.square((f - a) - (b - a))))
+        den += float(jnp.sum(jnp.square(f - a)))
+    rel = (num / max(den, 1e-30)) ** 0.5
+    assert rel < 0.05, rel
+
+
 def test_zero_sharding_places_moments_on_data_axis():
     mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
     tree = {"a": jnp.zeros((16, 4)), "b": jnp.zeros((3,)), "c": jnp.zeros(())}

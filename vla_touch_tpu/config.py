@@ -191,9 +191,20 @@ class TrainConfig:
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 1.0
     use_8bit_adam: bool = False      # bnb-style blockwise-int8 moments
+    accum_dtype: str = "float32"     # grad-accumulator dtype; "bfloat16"
+                                     # halves accumulator HBM (fits 1B
+                                     # accum>=4 on one 16 GB chip)
+    ema_dtype: str = "float32"       # EMA shadow dtype; "bfloat16" uses
+                                     # stochastic rounding (utils/ema.py)
+    param_dtype: str = "float32"     # parameter storage; "bfloat16" drops
+                                     # the f32 master and applies updates
+                                     # with stochastic rounding (requires
+                                     # use_8bit_adam; the full single-chip
+                                     # 1B accum>=4 memory recipe)
     max_train_steps: int = 40000
     checkpointing_period: int = 1000
     checkpoints_total_limit: int = 40
+    async_save: bool = False         # overlap checkpoint writes with steps
     sample_period: int = 100
     ema_decay: float = 0.999
     ema_inv_gamma: float = 1.0

@@ -100,7 +100,10 @@ def adamw8bit(learning_rate, b1: float = 0.9, b2: float = 0.999,
             if weight_decay:
                 step = step + weight_decay * p.astype(jnp.float32)
             mq2, ms2 = quantize_blockwise(m)
-            return (-lr * step).astype(p.dtype), mq2, ms2, vq2, vs2
+            # Updates stay f32: for bf16 param storage the per-step update is
+            # sub-ulp and a cast here would flush it before the stochastic-
+            # rounding apply in the trainer ever sees it.
+            return -lr * step, mq2, ms2, vq2, vs2
 
         out = jax.tree.map(upd, grads, state.m_q, state.m_s, state.v_q,
                            state.v_s, params)

@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
+import threading
 import time
 from functools import partial
 from typing import Optional
@@ -111,6 +112,8 @@ class RDTTrainer:
 
         self.metrics = MetricsLogger(self.output_dir)
         self.metrics_log = self.metrics.jsonl_path
+        self._ckpt_thread = None
+        self._async_saver = None
 
     # ---- checkpoint I/O ---------------------------------------------------
 
@@ -119,9 +122,43 @@ class RDTTrainer:
         if jax.process_count() > 1:
             # Cross-host sharded state (ZeRO moments live on other hosts):
             # all processes cooperate through the orbax backend.
-            ckpt.save_pytree_orbax(os.path.join(path, "state.orbax"), {
+            tree = {"params": state.params, "ema": state.ema.shadow,
+                    "opt_state": state.opt_state}
+            if self.tcfg.async_save:
+                if self._async_saver is None:
+                    self._async_saver = ckpt.AsyncOrbaxSaver()
+                self._async_saver.save(os.path.join(path, "state.orbax"),
+                                       tree)
+            else:
+                ckpt.save_pytree_orbax(os.path.join(path, "state.orbax"),
+                                       tree)
+        elif self.tcfg.async_save:
+            # Snapshot to host now (blocks for D2H only), write + meta +
+            # prune on the background thread; meta.json lands after the
+            # data files so a crash mid-write never leaves a checkpoint
+            # that has meta but no state.
+            self._wait_ckpt()
+            host = jax.device_get({
                 "params": state.params, "ema": state.ema.shadow,
-                "opt_state": state.opt_state})
+                "opt_state": state.opt_state,
+                "ema_num_updates": state.ema.num_updates})
+
+            def _write():
+                ckpt.save_pytree(os.path.join(path, "params.msgpack"),
+                                 host["params"])
+                ckpt.save_pytree(os.path.join(path, "ema.msgpack"),
+                                 host["ema"])
+                ckpt.save_pytree(os.path.join(path, "opt_state.msgpack"),
+                                 host["opt_state"])
+                ckpt.save_json(os.path.join(path, "meta.json"),
+                               {"step": step, "ema_num_updates":
+                                int(host["ema_num_updates"])})
+                ckpt.prune_checkpoints(self.output_dir,
+                                       self.tcfg.checkpoints_total_limit)
+
+            self._ckpt_thread = threading.Thread(target=_write, daemon=True)
+            self._ckpt_thread.start()
+            return
         else:
             ckpt.save_pytree(os.path.join(path, "params.msgpack"),
                              state.params)
@@ -136,8 +173,18 @@ class RDTTrainer:
             ckpt.prune_checkpoints(self.output_dir,
                                    self.tcfg.checkpoints_total_limit)
 
+    def _wait_ckpt(self):
+        """Block until any in-flight async checkpoint write has landed."""
+        if self._ckpt_thread is not None:
+            self._ckpt_thread.join()
+            self._ckpt_thread = None
+        if self._async_saver is not None:
+            self._async_saver.wait()
+
     def load_checkpoint(self, state: T.TrainState, path: str) -> T.TrainState:
         from vla_touch_tpu.utils.ema import EmaState
+
+        self._wait_ckpt()
 
         orbax_path = os.path.join(path, "state.orbax")
         if os.path.exists(orbax_path):
@@ -174,11 +221,6 @@ class RDTTrainer:
         key = jax.random.PRNGKey(seed)
         k_init, k_vis, key = jax.random.split(key, 3)
 
-        # Per-process data stream: each host samples its own shard of the
-        # global batch (model-init seed stays shared across hosts).
-        data_seed = seed + 9973 * jax.process_index()
-        dataset = VLAConsumerDataset(dcfg, seed=data_seed,
-                                     file_paths=file_paths)
         if mesh is None:
             mesh = (mesh_lib.make_mesh(n_data=jax.device_count(), n_model=1)
                     if jax.process_count() > 1
@@ -211,6 +253,15 @@ class RDTTrainer:
             state = self.load_checkpoint(state, resume_from)
             start_step = int(state.step)
 
+        # Per-process data stream: each host samples its own shard of the
+        # global batch (model-init seed stays shared across hosts).  The
+        # resume step folds into the seed so a resumed run draws NEW samples
+        # instead of replaying the stream from scratch (sampling is IID
+        # length-weighted draws, so any seed gives the same distribution).
+        data_seed = seed + 9973 * jax.process_index() + 31337 * start_step
+        dataset = VLAConsumerDataset(dcfg, seed=data_seed,
+                                     file_paths=file_paths)
+
         step_fn, state_sh = T.make_sharded_train_step(mesh, rcfg, tcfg)
         state = T.shard_train_state(mesh, state, state_sh)
 
@@ -239,9 +290,11 @@ class RDTTrainer:
             loader.close()
         if jax.process_count() > 1:
             self.save_checkpoint(state, max_steps)
+            self._wait_ckpt()
             return state
         final = jax.device_get(state)
         self.save_checkpoint(final, max_steps)
+        self._wait_ckpt()
         return final
 
     def _train_loop(self, loader, state, step_fn, vision_params, key,
@@ -382,12 +435,28 @@ def main(argv=None):
     p.add_argument("--adam_epsilon", type=float, default=1e-8)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--use_8bit_adam", action="store_true")
+    p.add_argument("--accum_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="grad-accumulator dtype; bfloat16 halves accumulator "
+                        "HBM so 1B accum>=4 fits one 16 GB chip")
+    p.add_argument("--ema_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="EMA shadow dtype; bfloat16 (stochastically rounded) "
+                        "halves EMA HBM for the single-chip 1B envelope")
+    p.add_argument("--param_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="parameter storage dtype; bfloat16 drops the f32 "
+                        "master and applies updates with stochastic "
+                        "rounding (requires --use_8bit_adam)")
     p.add_argument("--alpha", type=float, default=None,
                    help="accepted for compat (reference aux-loss weight, "
                         "unused in its shipped path)")
     p.add_argument("--seed", type=int, default=42)
     # --- checkpoint / eval --------------------------------------------------
     p.add_argument("--checkpointing_period", type=int, default=1000)
+    p.add_argument("--async_save", action="store_true",
+                   help="overlap checkpoint writes with training steps "
+                        "(host snapshot + background write / orbax async)")
     p.add_argument("--checkpoints_total_limit", type=int, default=40)
     p.add_argument("--sample_period", type=int, default=100)
     p.add_argument("--num_sample_batches", type=int, default=2)
@@ -453,7 +522,10 @@ def main(argv=None):
         weight_decay=args.adam_weight_decay, adam_beta1=args.adam_beta1,
         adam_beta2=args.adam_beta2, adam_epsilon=args.adam_epsilon,
         max_grad_norm=args.max_grad_norm, use_8bit_adam=args.use_8bit_adam,
+        accum_dtype=args.accum_dtype, ema_dtype=args.ema_dtype,
+        param_dtype=args.param_dtype,
         checkpointing_period=args.checkpointing_period,
+        async_save=args.async_save,
         checkpoints_total_limit=args.checkpoints_total_limit,
         sample_period=args.sample_period, seed=args.seed,
         prefetch_workers=args.dataloader_num_workers)

@@ -84,11 +84,19 @@ def init_train_state(rcfg: R.RDTRunnerConfig, tcfg: TrainConfig, key,
                      params: Optional[dict] = None) -> TrainState:
     if params is None:
         params = R.init_rdt(rcfg, key)
+    if tcfg.param_dtype != "float32":
+        if not tcfg.use_8bit_adam:
+            raise ValueError(
+                "param_dtype='bfloat16' stores NO f32 master copy; plain "
+                "optax.adamw would then keep bf16 moments. Use "
+                "use_8bit_adam=True (int8 moments, f32 update math).")
+        params = jax.tree.map(
+            lambda p: p.astype(jnp.dtype(tcfg.param_dtype)), params)
     opt = make_optimizer(tcfg)
     return TrainState(
         params=params,
         opt_state=opt.init(params),
-        ema=ema_lib.init(params),
+        ema=ema_lib.init(params, dtype=jnp.dtype(tcfg.ema_dtype)),
         step=jnp.zeros((), jnp.int32),
     )
 
@@ -107,26 +115,49 @@ def train_step(rcfg: R.RDTRunnerConfig, tcfg: TrainConfig,
 
     grad_fn = jax.value_and_grad(micro_loss)
     n_micro = jax.tree.leaves(batch)[0].shape[0]
+    key, k_ema, k_apply = jax.random.split(key, 3)
     keys = jax.random.split(key, n_micro)
+
+    # Accumulator dtype: f32 by default; bf16 halves accumulator HBM so the
+    # 1B model's accum>=4 operating point (finetune.sh bs4xaccum4) fits one
+    # 16 GB chip.  Micro-grads are cast as they are produced (the casts fuse
+    # into the backward kernels, so the full f32 grad tree never coexists
+    # with the accumulator); the mean is taken back in f32 for the optimizer.
+    acc_dtype = jnp.dtype(tcfg.accum_dtype)
 
     def accum(carry, xs):
         g_acc, loss_acc = carry
         mb, k = xs
         loss, g = grad_fn(state.params, mb, k)
-        g_acc = jax.tree.map(jnp.add, g_acc, g)
+        g_acc = jax.tree.map(lambda a, gi: a + gi.astype(acc_dtype), g_acc, g)
         return (g_acc, loss_acc + loss), None
 
-    g0 = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+    g0 = jax.tree.map(lambda p: jnp.zeros(p.shape, acc_dtype), state.params)
     (g_sum, loss_sum), _ = jax.lax.scan(accum, (g0, 0.0), (batch, keys))
-    grads = jax.tree.map(lambda g: g / n_micro, g_sum)
+    grads = jax.tree.map(lambda g: g.astype(jnp.float32) / n_micro, g_sum)
     loss = loss_sum / n_micro
 
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
-    params = optax.apply_updates(state.params, updates)
+    if tcfg.param_dtype == "bfloat16":
+        # No f32 master: per-step updates (~1e-4 x lr of param scale) are
+        # far below one bf16 ulp, so a nearest-rounded apply would stall.
+        # Stochastic rounding keeps E[p_t] on the f32 trajectory (the
+        # standard pure-bf16-training recipe; see utils/ema.py).
+        p_leaves, treedef = jax.tree.flatten(state.params)
+        u_leaves = jax.tree.leaves(updates)
+        a_keys = jax.random.split(k_apply, len(p_leaves))
+        params = jax.tree.unflatten(treedef, [
+            ema_lib.stochastic_round_bf16(
+                k, p.astype(jnp.float32) + u.astype(jnp.float32))
+            for p, u, k in zip(p_leaves, u_leaves, a_keys)])
+    else:
+        params = optax.apply_updates(state.params, updates)
     decay = ema_lib.rdt_ema_decay(state.step, inv_gamma=tcfg.ema_inv_gamma,
                                   power=tcfg.ema_power,
                                   max_value=tcfg.ema_decay)
-    new_ema = ema_lib.update(state.ema, params, decay)
+    new_ema = ema_lib.update(state.ema, params, decay,
+                             key=(k_ema if tcfg.ema_dtype == "bfloat16"
+                                  else None))
     new_state = TrainState(params=params, opt_state=opt_state, ema=new_ema,
                            step=state.step + 1)
     metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}

@@ -89,6 +89,37 @@ def load_pytree_orbax(path: str, target: Any) -> Any:
     return ckptr.restore(path, target=target)
 
 
+class AsyncOrbaxSaver:
+    """Overlapped checkpoint writes (``ocp.AsyncCheckpointer``).
+
+    ``save`` blocks only for the device->host snapshot; serialization and
+    the disk write run on background threads while training continues (the
+    12 GB 1B train state takes seconds to write — at checkpointing_period
+    steps that is pure overlap).  A second ``save`` first waits for the
+    previous one, so at most one write is in flight.  Orbax commits each
+    checkpoint with an atomic directory rename, so a crash mid-write leaves
+    no partial ``state.orbax`` behind.  Call ``close`` (or ``wait``) before
+    process exit so the final write lands.
+    """
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(self, path: str, tree: Any) -> None:
+        self._ckptr.wait_until_finished()
+        self._ckptr.save(os.path.abspath(path),
+                         args=self._ocp.args.StandardSave(tree), force=True)
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        self._ckptr.close()
+
+
 # ---- step-numbered checkpoint directories (RDT trainer semantics) -------------
 
 _CKPT_RE = re.compile(r"^checkpoint-(\d+)$")
