@@ -58,6 +58,26 @@ def test_bf16_param_step_mechanics(rng):
     assert moved > 0
 
 
+def test_warm_start_params_are_cast_to_recipe_dtypes():
+    """Finetuning from a ported f32 checkpoint (the recipe's primary flow,
+    --pretrained_model_name_or_path) must apply the same param/EMA dtype
+    casts as a fresh init — an f32 warm start silently re-inflating the
+    state would defeat the single-chip memory recipe."""
+    tcfg = TrainConfig(lr_warmup_steps=0, **BF16)
+    f32_params = R.init_rdt(RCFG, jax.random.PRNGKey(7))
+    assert jax.tree.leaves(f32_params)[0].dtype == jnp.float32
+    state = T.init_train_state(RCFG, tcfg, jax.random.PRNGKey(0),
+                               params=f32_params)
+    assert all(p.dtype == jnp.bfloat16
+               for p in jax.tree.leaves(state.params))
+    assert all(s.dtype == jnp.bfloat16
+               for s in jax.tree.leaves(state.ema.shadow))
+    # Values survive the cast (shadow starts at the warm-start params).
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(state.params)[0], np.float32),
+        np.asarray(jax.tree.leaves(f32_params)[0], np.float32), atol=0.01)
+
+
 def test_bf16_param_requires_8bit_adam():
     tcfg = TrainConfig(param_dtype="bfloat16", use_8bit_adam=False)
     with pytest.raises(ValueError, match="use_8bit_adam"):

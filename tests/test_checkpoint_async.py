@@ -64,6 +64,65 @@ def test_sync_save_unchanged(tmp_path):
     assert int(restored.step) == 1
 
 
+def test_async_save_failure_raises_at_next_wait(tmp_path, monkeypatch):
+    """A failed background write (full disk, permissions) must fail the run
+    at the next drain point, exactly as the synchronous path would — not
+    vanish into the daemon thread's stderr."""
+    import vla_touch_tpu.train.rdt_loop as loop_mod
+
+    trainer, tcfg = _trainer(tmp_path, async_save=True)
+    state = T.init_train_state(RCFG, tcfg, jax.random.PRNGKey(0))
+
+    def boom(*a, **kw):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(loop_mod.ckpt, "save_pytree", boom)
+    trainer.save_checkpoint(state, 3)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        trainer._wait_ckpt()
+    # The error is consumed: the trainer is usable again afterwards.
+    assert trainer._ckpt_error is None
+
+
+def test_multihost_async_meta_lands_after_data(tmp_path, monkeypatch):
+    """Multi-host async path: meta.json must not exist until the orbax
+    write commits — a crash mid-write must never leave a checkpoint dir
+    that resume would pick but cannot load."""
+    import threading
+
+    import vla_touch_tpu.train.rdt_loop as loop_mod
+
+    committed = threading.Event()
+    saves = {}
+
+    class FakeAsyncSaver:
+        def save(self, path, tree):
+            saves["path"] = path       # write is now "in flight"
+
+        def wait(self):
+            if "path" not in saves:    # pre-save drain: nothing in flight
+                return
+            committed.wait(timeout=10)
+            os.makedirs(saves["path"], exist_ok=True)  # the atomic commit
+
+    monkeypatch.setattr(loop_mod.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(loop_mod.jax, "process_index", lambda: 0)
+    monkeypatch.setattr(loop_mod.ckpt, "AsyncOrbaxSaver", FakeAsyncSaver)
+
+    trainer, tcfg = _trainer(tmp_path, async_save=True)
+    state = T.init_train_state(RCFG, tcfg, jax.random.PRNGKey(0))
+    trainer.save_checkpoint(state, 5)
+
+    meta = os.path.join(trainer.output_dir, "checkpoint-5", "meta.json")
+    assert not os.path.exists(meta)    # data still in flight -> no meta
+    committed.set()
+    trainer._wait_ckpt()
+    assert os.path.exists(meta)        # meta only after the commit
+    assert os.path.exists(saves["path"])
+
+
 def test_async_orbax_saver_roundtrip(tmp_path):
     from vla_touch_tpu.utils import checkpoint as ckpt
 

@@ -40,6 +40,29 @@ def test_missing_extra_and_shape_mismatch_reported():
     assert "MISMATCH" in s and gone in s
 
 
+def test_sibling_tower_extras_pass_but_foreign_extras_fail():
+    """A FULL-model download carries its other tower (text beside vision) —
+    benign, reported informationally.  Any other key superset is a wrong
+    variant and must NOT exit 0 (a validator that ignores extras would
+    bless e.g. a differently-architected checkpoint whose keys superset
+    ours)."""
+    vis = CM.load_manifest("clip_vit_b16_vision")
+    full = dict(vis)
+    for k, v in CM.load_manifest("clip_vit_b16_text").items():
+        full[k] = v                       # the text tower of the same file
+    full["visual_projection.weight"] = (512, 768)
+    diff = CM.diff_keys(full, "clip_vit_b16_vision")
+    assert diff.ok
+    assert len(diff.sibling) == 197 and not diff.extra
+    assert "sibling" in diff.summary("clip_vit_b16_vision")
+
+    foreign = dict(vis)
+    foreign["transformer.h.0.attn.c_attn.weight"] = (768, 2304)
+    diff = CM.diff_keys(foreign, "clip_vit_b16_vision")
+    assert not diff.ok
+    assert diff.extra == ["transformer.h.0.attn.c_attn.weight"]
+
+
 def test_safetensors_header_reading(tmp_path):
     st = pytest.importorskip("safetensors.numpy")
     a = {"x.weight": np.zeros((3, 4), np.float32),

@@ -165,6 +165,45 @@ def test_pool_concurrent_sessions_deterministic(rng):
         np.testing.assert_array_equal(x, y)
 
 
+def test_pool_fixed_text_pad_keeps_one_shape_per_bucket(rng):
+    """With ``text_pad_len`` set (as ``from_policy`` does from the model's
+    max_lang_cond_len), every dispatched batch has the SAME text shape no
+    matter the per-request instruction lengths — one jit compile per
+    bucket, ever; and an over-length request fails loudly instead of
+    silently growing the shape."""
+    shapes = []
+
+    def step(proprio, images, image_mask, text_embeds, text_mask):
+        shapes.append(text_embeds.shape)
+        return np.zeros((proprio.shape[0], 4, 10), np.float32)
+
+    with SP.PolicyServingPool(step, max_batch=2, max_wait_ms=5,
+                              buckets=(1, 2), text_pad_len=8) as pool:
+        pool.submit(**_request(rng, L=2)).result(timeout=30)
+        pool.submit(**_request(rng, L=5)).result(timeout=30)
+        assert [s[1] for s in shapes] == [8, 8]
+        with pytest.raises(ValueError, match="exceeds"):
+            pool.submit(**_request(rng, L=9)).result(timeout=30)
+
+
+def test_pool_close_is_idempotent_and_strands_no_future(rng):
+    done = threading.Event()
+
+    def step(proprio, *a):
+        done.wait(5)
+        return np.zeros((proprio.shape[0], 4, 10), np.float32)
+
+    pool = SP.PolicyServingPool(step, max_batch=1, max_wait_ms=1,
+                                buckets=(1,))
+    fut = pool.submit(**_request(rng))
+    done.set()
+    fut.result(timeout=30)
+    pool.close()
+    pool.close()                       # second close is a no-op
+    with pytest.raises(RuntimeError):
+        pool.submit(**_request(rng))
+
+
 def test_pool_propagates_errors(rng):
     def bad_step(*a):
         raise RuntimeError("boom")

@@ -12,8 +12,10 @@ is the host-side piece that makes that a served API:
   the batch up to the next size in ``buckets`` (a FIXED set, so XLA
   compiles one program per bucket, ever), runs the batched step, and
   resolves each request's Future with its row;
-- text conditions are padded to a shared length with their masks, so
-  robots with different instructions batch together.
+- text conditions are padded to a FIXED length (``text_pad_len``, the
+  model's ``max_lang_cond_len`` in ``from_policy``) with their masks, so
+  robots with different instructions batch together without per-length
+  recompiles.
 
 The pool is policy-agnostic: it wraps any batched callable
 ``fn(proprio, images, image_mask, text_embeds, text_mask, key) -> chunk``;
@@ -43,10 +45,16 @@ class _Request:
     future: Future = field(default_factory=Future)
 
 
-def _pad_rows(rows: Sequence[np.ndarray], pad_to: int) -> np.ndarray:
+def _pad_rows(rows: Sequence[np.ndarray], pad_to: int,
+              pad_len: Optional[int] = None) -> np.ndarray:
     """Stack per-request arrays, padding the leading (length) axis of each
-    to the batch max and the batch axis to ``pad_to`` with zero rows."""
-    max_l = max(r.shape[0] for r in rows)
+    to ``pad_len`` (default: the batch max) and the batch axis to
+    ``pad_to`` with zero rows."""
+    max_l = pad_len if pad_len is not None else max(r.shape[0] for r in rows)
+    if any(r.shape[0] > max_l for r in rows):
+        raise ValueError(
+            f"request length {max(r.shape[0] for r in rows)} exceeds the "
+            f"pool's fixed pad length {max_l}")
     padded = []
     for r in rows:
         if r.shape[0] < max_l:
@@ -63,15 +71,22 @@ class PolicyServingPool:
 
     def __init__(self, batched_step: Callable, max_batch: int = 8,
                  max_wait_ms: float = 3.0,
-                 buckets: Sequence[int] = (1, 2, 4, 8)):
+                 buckets: Sequence[int] = (1, 2, 4, 8),
+                 text_pad_len: Optional[int] = None):
         if sorted(buckets) != list(buckets) or max_batch != buckets[-1]:
             raise ValueError("buckets must be sorted and end at max_batch")
         self._fn = batched_step
         self._max_batch = max_batch
         self._max_wait = max_wait_ms / 1e3
         self._buckets = tuple(buckets)
+        # Text is padded to this FIXED length (like the trainer's collate),
+        # not the per-batch max: a jitted step sees one text shape per
+        # bucket ever, so robots with different instruction lengths never
+        # trigger a multi-second recompile on the dispatcher thread.
+        self._text_pad_len = text_pad_len
         self._queue: Queue = Queue()
         self._closed = False
+        self._lock = threading.Lock()
         self._worker = threading.Thread(target=self._serve, daemon=True)
         self._worker.start()
 
@@ -80,18 +95,32 @@ class PolicyServingPool:
                text_mask) -> Future:
         """Enqueue one robot's request; returns a Future of its
         (horizon, D_low) action chunk."""
-        if self._closed:
-            raise RuntimeError("pool is closed")
         req = _Request(np.asarray(proprio), np.asarray(images),
                        np.asarray(image_mask), np.asarray(text_embeds),
                        np.asarray(text_mask))
-        self._queue.put(req)
+        # The closed-check and enqueue are atomic w.r.t. close(), so no
+        # request can slip in behind the shutdown sentinel and leave its
+        # Future unresolved forever.
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("pool is closed")
+            self._queue.put(req)
         return req.future
 
     def close(self) -> None:
-        self._closed = True
-        self._queue.put(None)          # wake the dispatcher
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)      # wake the dispatcher
         self._worker.join(timeout=10)
+        while True:                    # defensive: never strand a Future
+            try:
+                req = self._queue.get_nowait()
+            except Empty:
+                break
+            if req is not None and not req.future.done():
+                req.future.set_exception(RuntimeError("pool is closed"))
 
     def __enter__(self):
         return self
@@ -139,8 +168,10 @@ class PolicyServingPool:
         proprio = _pad_rows([r.proprio for r in batch], bucket)
         images = _pad_rows([r.images for r in batch], bucket)
         image_mask = _pad_rows([r.image_mask for r in batch], bucket)
-        text = _pad_rows([r.text_embeds for r in batch], bucket)
-        tmask = _pad_rows([r.text_mask for r in batch], bucket)
+        text = _pad_rows([r.text_embeds for r in batch], bucket,
+                         pad_len=self._text_pad_len)
+        tmask = _pad_rows([r.text_mask for r in batch], bucket,
+                          pad_len=self._text_pad_len)
         chunk = np.asarray(self._fn(proprio, images, image_mask, text,
                                     tmask))
         for i, req in enumerate(batch):
@@ -167,4 +198,5 @@ def from_policy(cfg, rdt_params, vision_params, seed: int = 0,
                              text_mask)
 
     return PolicyServingPool(step, max_batch=max_batch,
-                             max_wait_ms=max_wait_ms, buckets=buckets)
+                             max_wait_ms=max_wait_ms, buckets=buckets,
+                             text_pad_len=cfg.rdt.model.max_lang_cond_len)

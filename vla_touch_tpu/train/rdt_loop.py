@@ -114,6 +114,7 @@ class RDTTrainer:
         self.metrics_log = self.metrics.jsonl_path
         self._ckpt_thread = None
         self._async_saver = None
+        self._ckpt_error = None
 
     # ---- checkpoint I/O ---------------------------------------------------
 
@@ -127,8 +128,33 @@ class RDTTrainer:
             if self.tcfg.async_save:
                 if self._async_saver is None:
                     self._async_saver = ckpt.AsyncOrbaxSaver()
+                self._wait_ckpt()
                 self._async_saver.save(os.path.join(path, "state.orbax"),
                                        tree)
+                # meta-after-data holds here too: the finalize thread writes
+                # meta.json only after orbax commits state.orbax (atomic
+                # rename), so a crash mid-write never leaves a checkpoint
+                # dir that resume would pick but cannot load.
+                ema_updates = int(state.ema.num_updates)
+
+                def _finalize():
+                    try:
+                        self._async_saver.wait()
+                        if jax.process_index() == 0:
+                            ckpt.save_json(
+                                os.path.join(path, "meta.json"),
+                                {"step": step,
+                                 "ema_num_updates": ema_updates})
+                            ckpt.prune_checkpoints(
+                                self.output_dir,
+                                self.tcfg.checkpoints_total_limit)
+                    except BaseException as e:  # surfaced by _wait_ckpt
+                        self._ckpt_error = e
+
+                self._ckpt_thread = threading.Thread(target=_finalize,
+                                                     daemon=True)
+                self._ckpt_thread.start()
+                return
             else:
                 ckpt.save_pytree_orbax(os.path.join(path, "state.orbax"),
                                        tree)
@@ -144,17 +170,20 @@ class RDTTrainer:
                 "ema_num_updates": state.ema.num_updates})
 
             def _write():
-                ckpt.save_pytree(os.path.join(path, "params.msgpack"),
-                                 host["params"])
-                ckpt.save_pytree(os.path.join(path, "ema.msgpack"),
-                                 host["ema"])
-                ckpt.save_pytree(os.path.join(path, "opt_state.msgpack"),
-                                 host["opt_state"])
-                ckpt.save_json(os.path.join(path, "meta.json"),
-                               {"step": step, "ema_num_updates":
-                                int(host["ema_num_updates"])})
-                ckpt.prune_checkpoints(self.output_dir,
-                                       self.tcfg.checkpoints_total_limit)
+                try:
+                    ckpt.save_pytree(os.path.join(path, "params.msgpack"),
+                                     host["params"])
+                    ckpt.save_pytree(os.path.join(path, "ema.msgpack"),
+                                     host["ema"])
+                    ckpt.save_pytree(os.path.join(path, "opt_state.msgpack"),
+                                     host["opt_state"])
+                    ckpt.save_json(os.path.join(path, "meta.json"),
+                                   {"step": step, "ema_num_updates":
+                                    int(host["ema_num_updates"])})
+                    ckpt.prune_checkpoints(self.output_dir,
+                                           self.tcfg.checkpoints_total_limit)
+                except BaseException as e:  # surfaced by _wait_ckpt
+                    self._ckpt_error = e
 
             self._ckpt_thread = threading.Thread(target=_write, daemon=True)
             self._ckpt_thread.start()
@@ -174,12 +203,20 @@ class RDTTrainer:
                                    self.tcfg.checkpoints_total_limit)
 
     def _wait_ckpt(self):
-        """Block until any in-flight async checkpoint write has landed."""
+        """Block until any in-flight async checkpoint write has landed.
+
+        Re-raises a failure captured on the writer thread (full disk,
+        permissions): a silently-lost checkpoint must fail the run the same
+        way the synchronous path would.
+        """
         if self._ckpt_thread is not None:
             self._ckpt_thread.join()
             self._ckpt_thread = None
         if self._async_saver is not None:
             self._async_saver.wait()
+        if self._ckpt_error is not None:
+            err, self._ckpt_error = self._ckpt_error, None
+            raise RuntimeError("async checkpoint write failed") from err
 
     def load_checkpoint(self, state: T.TrainState, path: str) -> T.TrainState:
         from vla_touch_tpu.utils.ema import EmaState
@@ -235,13 +272,12 @@ class RDTTrainer:
             vision_params = SiglipVisionEncoder(self.vision_cfg).init(
                 k_vis, dummy)["params"]
 
-        state = T.init_train_state(rcfg, tcfg, k_init)
-        if init_params is not None:
-            # Warm-start from a ported reference checkpoint
-            # (--pretrained_model_name_or_path); EMA shadow starts there too.
-            state = dataclasses.replace(
-                state, params=init_params,
-                ema=dataclasses.replace(state.ema, shadow=init_params))
+        # Warm-start from a ported reference checkpoint
+        # (--pretrained_model_name_or_path); EMA shadow starts there too.
+        # Routed through init_train_state so the param_dtype/ema_dtype casts
+        # (the pure-bf16 single-chip recipe) apply to loaded f32 checkpoints
+        # exactly as they do to fresh inits.
+        state = T.init_train_state(rcfg, tcfg, k_init, params=init_params)
         start_step = 0
         if resume_from == "latest":
             latest = ckpt.latest_checkpoint(self.output_dir)

@@ -52,6 +52,20 @@ OPTIONAL = {
     "t5_v1_1_xxl": {"encoder.embed_tokens.weight"},
 }
 
+#: extra-key prefixes a FULL-model download legitimately carries alongside
+#: the sub-tower a manifest describes (e.g. the text tower in a whole CLIP
+#: checkpoint validated against the vision manifest).  Any extra key NOT
+#: under one of these prefixes fails validation — a key superset from a
+#: wrong variant must not exit 0.
+SIBLING_PREFIXES = {
+    "clip_vit_b16_vision": ("text_model.", "text_projection",
+                            "visual_projection", "logit_scale"),
+    "clip_vit_b16_text": ("vision_model.", "text_projection",
+                          "visual_projection", "logit_scale"),
+    "siglip_so400m": ("text_model.", "logit_scale", "logit_bias"),
+    "t5_v1_1_xxl": ("decoder.", "lm_head."),
+}
+
 
 def load_manifest(name: str) -> Dict[str, Tuple[int, ...]]:
     path = os.path.join(MANIFEST_DIR, f"{name}.json")
@@ -65,20 +79,23 @@ def load_manifest(name: str) -> Dict[str, Tuple[int, ...]]:
 @dataclasses.dataclass
 class ManifestDiff:
     missing: list          # required by the manifest, absent in checkpoint
-    extra: list            # in the checkpoint, unknown to the manifest
+    extra: list            # unexplained keys unknown to the manifest (FAIL)
     shape_mismatch: list   # (key, got, want)
+    sibling: list = dataclasses.field(default_factory=list)
+    # ^ extras under a declared SIBLING_PREFIXES namespace (informational)
 
     @property
     def ok(self) -> bool:
-        return not (self.missing or self.shape_mismatch)
+        return not (self.missing or self.extra or self.shape_mismatch)
 
     def summary(self, name: str) -> str:
-        if self.ok and not self.extra:
+        if self.ok and not self.sibling:
             return f"{name}: OK (exact key space)"
         lines = [f"{name}: {'OK' if self.ok else 'MISMATCH'}"]
         for label, items in (("missing", self.missing),
-                             ("extra", self.extra),
-                             ("shape mismatch", self.shape_mismatch)):
+                             ("unexplained extra", self.extra),
+                             ("shape mismatch", self.shape_mismatch),
+                             ("sibling-tower keys (ignored)", self.sibling)):
             if items:
                 shown = ", ".join(str(i) for i in items[:5])
                 more = f" (+{len(items) - 5} more)" if len(items) > 5 else ""
@@ -90,12 +107,15 @@ def diff_keys(actual: Dict[str, Tuple[int, ...]], name: str) -> ManifestDiff:
     """Compare a {key: shape} mapping against manifest ``name``."""
     man = load_manifest(name)
     optional = OPTIONAL.get(name, set())
+    sib_pfx = SIBLING_PREFIXES.get(name, ())
     missing = sorted(k for k in man
                      if k not in actual and k not in optional)
-    extra = sorted(k for k in actual if k not in man)
+    extras = sorted(k for k in actual if k not in man)
+    sibling = [k for k in extras if k.startswith(sib_pfx)] if sib_pfx else []
+    extra = [k for k in extras if k not in set(sibling)]
     mism = sorted((k, tuple(actual[k]), man[k])
                   for k in man if k in actual and tuple(actual[k]) != man[k])
-    return ManifestDiff(missing, extra, mism)
+    return ManifestDiff(missing, extra, mism, sibling)
 
 
 def read_checkpoint_shapes(path: str) -> Dict[str, Tuple[int, ...]]:
