@@ -155,6 +155,7 @@ def test_cli_wiring_scale_lr_and_sched(tmp_path, monkeypatch):
              "--learning_rate", "1e-4", "--lr_scheduler", "cosine",
              "--adam_weight_decay", "0.05", "--cam_ext_mask_prob", "0.3",
              "--dataloader_num_workers", "4", "--use_8bit_adam",
+             "--zero3",
              "--output_dir", str(tmp_path), "--deepspeed", "z2.json",
              "--allow_tf32", "--local_rank", "0"])
     tcfg, dcfg = seen["tcfg"], seen["dcfg"]
@@ -163,4 +164,5 @@ def test_cli_wiring_scale_lr_and_sched(tmp_path, monkeypatch):
     assert tcfg.lr_scheduler == "cosine"
     assert tcfg.weight_decay == 0.05
     assert tcfg.use_8bit_adam and tcfg.prefetch_workers == 4
+    assert tcfg.zero3
     assert dcfg.cam_ext_mask_prob == 0.3

@@ -62,6 +62,66 @@ def test_dp_sharded_step_matches_single_device(rng):
     assert int(new_sharded.ema.num_updates) == 1
 
 
+def test_zero3_shards_params_and_matches_replicated(rng):
+    """FSDP/ZeRO-3 (`--zero3`): parameters + EMA shadow live sharded over
+    the data axis — per-chip param state ~1/8 here — and one optimizer
+    step is numerically identical to the replicated single-device step
+    (GSPMD's all-gather/reduce-scatter insertion is math-preserving)."""
+    tcfg3 = TrainConfig(grad_accum=2, lr_warmup_steps=0, learning_rate=1e-4,
+                        zero3=True)
+    mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
+    state = T.init_train_state(RCFG, tcfg3, jax.random.PRNGKey(0))
+    batch = _batch(rng, accum=2, micro=8)
+
+    step_fn, state_sh = T.make_sharded_train_step(mesh, RCFG, tcfg3)
+    sharded = T.shard_train_state(mesh, state, state_sh)
+
+    # Every sizeable leaf (params AND ema shadow) is actually data-sharded.
+    qkv = sharded.params["model"]["block0"]["attn"]["qkv"]["kernel"]
+    assert "data" in tuple(qkv.sharding.spec)
+    assert qkv.addressable_data(0).size == qkv.size // 8
+    shadow_qkv = sharded.ema.shadow["model"]["block0"]["attn"]["qkv"]["kernel"]
+    assert shadow_qkv.addressable_data(0).size == shadow_qkv.size // 8
+    sharded_frac = sum(
+        l.addressable_data(0).size for l in jax.tree.leaves(sharded.params)
+    ) / sum(l.size for l in jax.tree.leaves(sharded.params))
+    assert sharded_frac < 0.2          # ~1/8 + a few replicated small leaves
+
+    new_sharded, metrics = step_fn(sharded, jax.random.PRNGKey(1), batch)
+
+    state2 = T.init_train_state(RCFG, TCFG, jax.random.PRNGKey(0))
+    new_single, metrics2 = jax.jit(
+        lambda s, k, b: T.train_step(RCFG, TCFG, s, k, b)
+    )(state2, jax.random.PRNGKey(1), batch)
+
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(metrics2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(new_sharded.params),
+                    jax.tree.leaves(new_single.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_zero3_composes_with_tp(rng):
+    """On a (data=4, model=2) mesh the qkv kernel is sharded over BOTH axes
+    (Megatron TP on the output features, FSDP on the input features) and
+    the step still runs to a finite loss."""
+    tcfg3 = TrainConfig(grad_accum=1, lr_warmup_steps=0, learning_rate=1e-4,
+                        zero3=True)
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=2)
+    state = T.init_train_state(RCFG, tcfg3, jax.random.PRNGKey(0))
+    step_fn, state_sh = T.make_sharded_train_step(mesh, RCFG, tcfg3)
+    sharded = T.shard_train_state(mesh, state, state_sh)
+
+    qkv = sharded.params["model"]["block0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == jax.sharding.PartitionSpec("data", "model")
+    assert qkv.addressable_data(0).size == qkv.size // 8
+
+    new_state, metrics = step_fn(sharded, jax.random.PRNGKey(1),
+                                 _batch(rng, accum=1, micro=4))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_tp_mesh_runs_and_shards_params(rng):
     mesh = mesh_lib.make_mesh(n_data=4, n_model=2)
     state = T.init_train_state(RCFG, TCFG, jax.random.PRNGKey(0))

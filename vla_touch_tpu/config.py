@@ -201,6 +201,12 @@ class TrainConfig:
                                      # with stochastic rounding (requires
                                      # use_8bit_adam; the full single-chip
                                      # 1B accum>=4 memory recipe)
+    zero3: bool = False              # FSDP/ZeRO-3 analogue: shard the
+                                     # PARAMETERS (and EMA shadow) over the
+                                     # data axis too — per-chip param state
+                                     # drops ~1/n_data; GSPMD inserts the
+                                     # per-layer all-gathers/reduce-scatters
+                                     # (parallel/mesh.py::fsdp_param_shardings)
     max_train_steps: int = 40000
     checkpointing_period: int = 1000
     checkpoints_total_limit: int = 40

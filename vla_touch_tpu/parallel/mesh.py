@@ -76,6 +76,40 @@ def rdt_param_shardings(mesh: Mesh, params) -> dict:
     )
 
 
+# ---- ZeRO-3 / FSDP analogue: shard the parameters themselves -------------------
+
+
+def fsdp_param_shardings(mesh: Mesh, params) -> dict:
+    """FSDP/ZeRO-3 shardings: every parameter leaf additionally sharded over
+    the DATA axis (on its largest free dimension), composing with the TP
+    spec when the mesh has a model axis.
+
+    This is the TPU-idiomatic ZeRO-3: the annotation alone makes GSPMD
+    materialize each layer's weights with a just-in-time all-gather in the
+    forward/backward and reduce-scatter the gradients — no hand-written
+    collectives, and per-chip parameter (+EMA) state drops to ~1/n_data.
+    Goes beyond the reference's DeepSpeed ZeRO-2 ceiling
+    (``finetune.sh:40``, moments-only sharding).
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    use_tp = mesh.shape[MODEL_AXIS] > 1
+
+    def leaf_sharding(path, leaf):
+        shape = tuple(getattr(leaf, "shape", ()))
+        tp = _rdt_tp_spec(path) if use_tp else P()
+        spec = list(tp) + [None] * (len(shape) - len(tp))
+        # Largest axis not already TP-sharded and divisible by n_data;
+        # small leaves (norm scales shorter than the axis) stay replicated.
+        for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+            if spec[i] is None and shape[i] % n_data == 0 \
+                    and shape[i] >= n_data:
+                spec[i] = DATA_AXIS
+                break
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, params)
+
+
 # ---- ZeRO-2 analogue: shard optimizer moments over the data axis ---------------
 
 

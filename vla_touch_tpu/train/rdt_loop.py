@@ -471,6 +471,11 @@ def main(argv=None):
     p.add_argument("--adam_epsilon", type=float, default=1e-8)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--use_8bit_adam", action="store_true")
+    p.add_argument("--zero3", action="store_true",
+                   help="FSDP/ZeRO-3 analogue: shard parameters + EMA over "
+                        "the data axis (per-chip param state ~1/n_data; "
+                        "GSPMD inserts per-layer all-gathers). The default "
+                        "is ZeRO-2, the reference's DeepSpeed ceiling")
     p.add_argument("--accum_dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="grad-accumulator dtype; bfloat16 halves accumulator "
@@ -558,6 +563,7 @@ def main(argv=None):
         weight_decay=args.adam_weight_decay, adam_beta1=args.adam_beta1,
         adam_beta2=args.adam_beta2, adam_epsilon=args.adam_epsilon,
         max_grad_norm=args.max_grad_norm, use_8bit_adam=args.use_8bit_adam,
+        zero3=args.zero3,
         accum_dtype=args.accum_dtype, ema_dtype=args.ema_dtype,
         param_dtype=args.param_dtype,
         checkpointing_period=args.checkpointing_period,

@@ -169,13 +169,22 @@ def make_sharded_train_step(mesh, rcfg: R.RDTRunnerConfig, tcfg: TrainConfig):
     moments ZeRO-sharded over data, batch sharded over data."""
     params_shape = jax.eval_shape(
         lambda k: R.init_rdt(rcfg, k), jax.random.PRNGKey(0))
-    param_sh = mesh_lib.rdt_param_shardings(mesh, params_shape)
+    # ZeRO-3 (tcfg.zero3): parameters AND the EMA shadow live sharded over
+    # the data axis; GSPMD all-gathers weights per layer in fwd/bwd and
+    # reduce-scatters grads.  Default: TP-or-replicated params (ZeRO-2,
+    # moments-only sharding — the reference's DeepSpeed ceiling).
+    if tcfg.zero3:
+        param_sh = mesh_lib.fsdp_param_shardings(mesh, params_shape)
+    else:
+        param_sh = mesh_lib.rdt_param_shardings(mesh, params_shape)
 
     opt = make_optimizer(tcfg)
     opt_shape = jax.eval_shape(opt.init, params_shape)
     opt_sh = mesh_lib.zero_sharding(mesh, opt_shape)
     ema_sh = ema_lib.EmaState(
-        shadow=mesh_lib.zero_sharding(mesh, params_shape),
+        shadow=(mesh_lib.fsdp_param_shardings(mesh, params_shape)
+                if tcfg.zero3
+                else mesh_lib.zero_sharding(mesh, params_shape)),
         num_updates=mesh_lib.replicated(mesh),
     )
     state_sh = TrainState(params=param_sh, opt_state=opt_sh, ema=ema_sh,
