@@ -180,9 +180,16 @@ class PolicyServingPool:
 
 def from_policy(cfg, rdt_params, vision_params, seed: int = 0,
                 max_batch: int = 8, max_wait_ms: float = 3.0,
-                buckets: Sequence[int] = (1, 2, 4, 8)) -> PolicyServingPool:
+                buckets: Sequence[int] = (1, 2, 4, 8),
+                text_pad_len: Optional[int] = None) -> PolicyServingPool:
     """Pool over :func:`runtime.policy.policy_step` with a deterministic
-    key stream (one fresh key per dispatched batch)."""
+    key stream (one fresh key per dispatched batch).
+
+    ``text_pad_len`` defaults to the model's ``max_lang_cond_len`` (always
+    safe); deployments whose instructions are known-short should pass a
+    tighter bound — the lang-condition KV work is linear in the padded
+    length.
+    """
     import jax
 
     from vla_touch_tpu.runtime import policy as P
@@ -197,6 +204,8 @@ def from_policy(cfg, rdt_params, vision_params, seed: int = 0,
                              proprio, images, image_mask, text_embeds,
                              text_mask)
 
+    if text_pad_len is None:
+        text_pad_len = cfg.rdt.model.max_lang_cond_len
     return PolicyServingPool(step, max_batch=max_batch,
                              max_wait_ms=max_wait_ms, buckets=buckets,
-                             text_pad_len=cfg.rdt.model.max_lang_cond_len)
+                             text_pad_len=text_pad_len)
