@@ -227,6 +227,11 @@ def test_quantized_llm_decode(params, rng):
     assert "w4_pack" in qp4["layers"][0]["gate"]
     h4 = np.asarray(L.llm_forward(CFG, qp4, e))
     assert np.isfinite(h4).all()
+    # Grouped int4 carries the documented GPTQ/AWQ-class fidelity trade
+    # (~0.986 hidden-state corr at tiny scale vs int8's 0.9998) — pin a
+    # floor so quantizer regressions surface.
+    corr4 = np.corrcoef(h_ref.ravel(), h4.ravel())[0, 1]
+    assert corr4 > 0.95, corr4
     # QLoRA-style: full-precision adapter on the quantized base still applies
     lora = L.init_lora(CFG, jax.random.PRNGKey(4), rank=2)
     for lp in lora["layers"]:

@@ -269,7 +269,9 @@ def test_w4_pallas_kernel_matches_xla(rng):
     from vla_touch_tpu.ops.pallas_matmul import qdense_pallas_w4, w4a8_matmul
     from vla_touch_tpu.ops.quant import qdense_w4, quantize_linear_w4
 
-    for K, N, M in [(1152, 384, 66), (256, 128, 1)]:
+    # (4352, 128, 1) has G=34 groups: covers the ROLLED kernel loop (G>32,
+    # the LLM-MLP regime where full unrolling overflowed scoped VMEM).
+    for K, N, M in [(1152, 384, 66), (256, 128, 1), (4352, 128, 1)]:
         w = rng.normal(size=(K, N)).astype(np.float32) * 0.05
         b = rng.normal(size=(N,)).astype(np.float32) * 0.01
         x = jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)

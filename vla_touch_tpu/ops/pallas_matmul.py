@@ -324,20 +324,40 @@ def _w4a8_kernel(x_ref, wp_ref, s_ref, b_ref, o_ref, xi_scr, rs_scr,
 
     Mp = x_ref.shape[0]
     bn = wp_ref.shape[1]
-    acc = jnp.zeros((Mp, bn), jnp.float32)
     half = G // 2
-    for g in range(G):
-        # low-nibble plane holds original rows [0, K/2), high the rest
-        row = (g if g < half else g - half) * gs
-        wp = wp_ref[pl.ds(row, gs), :].astype(jnp.int32)
-        if g < half:
-            w_g = jnp.right_shift(jnp.left_shift(wp, 28), 28)
-        else:
-            w_g = jnp.right_shift(wp, 4)
-        part = jnp.dot(xi_scr[:, pl.ds(g * gs, gs)],
-                       w_g.astype(jnp.int8),
-                       preferred_element_type=jnp.int32)
-        acc = acc + part.astype(jnp.float32) * s_ref[g, :][None, :]
+    if G <= 32:
+        # Small group counts (the RDT serving shapes): unroll — Mosaic
+        # pipelines the statically-known slices best.
+        acc = jnp.zeros((Mp, bn), jnp.float32)
+        for g in range(G):
+            # low-nibble plane holds original rows [0, K/2), high the rest
+            row = (g if g < half else g - half) * gs
+            wp = wp_ref[pl.ds(row, gs), :].astype(jnp.int32)
+            if g < half:
+                w_g = jnp.right_shift(jnp.left_shift(wp, 28), 28)
+            else:
+                w_g = jnp.right_shift(wp, 4)
+            part = jnp.dot(xi_scr[:, pl.ds(g * gs, gs)],
+                           w_g.astype(jnp.int8),
+                           preferred_element_type=jnp.int32)
+            acc = acc + part.astype(jnp.float32) * s_ref[g, :][None, :]
+    else:
+        # Large group counts (LLM MLP projections: K 18944, G 148): a
+        # rolled loop — full unrolling overflows the kernel's scoped-VMEM
+        # stack (measured: 18.9 MB > the 16 MB limit at K=18944, bn=384).
+        def body(g, acc):
+            row = jax.lax.rem(g, half) * gs
+            wp = wp_ref[pl.ds(row, gs), :].astype(jnp.int32)
+            low = jnp.right_shift(jnp.left_shift(wp, 28), 28)
+            high = jnp.right_shift(wp, 4)
+            w_g = jnp.where(g < half, low, high)
+            part = jnp.dot(xi_scr[:, pl.ds(g * gs, gs)],
+                           w_g.astype(jnp.int8),
+                           preferred_element_type=jnp.int32)
+            return acc + part.astype(jnp.float32) * s_ref[pl.ds(g, 1), :]
+
+        acc = jax.lax.fori_loop(0, G, body,
+                                jnp.zeros((Mp, bn), jnp.float32))
     o_ref[...] = (acc * rs_scr[:, 0:1] + b_ref[...]).astype(o_ref.dtype)
 
 

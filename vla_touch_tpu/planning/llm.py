@@ -262,7 +262,18 @@ def _dense(x, p, lora=None, scale=1.0):
         # the LoRA residual stays full-precision (QLoRA-style serving)
         from vla_touch_tpu.ops.quant import qdense_any
 
-        y = qdense_any(x, p, out_dtype=x.dtype)
+        if "w4_pack" in p and jax.default_backend() == "tpu":
+            # XLA's grouped-int4 lowering materializes the unpacked int8
+            # weights to HBM, which makes w4 DECODE 8x slower than int8
+            # (measured 12 vs 93 tok/s at Qwen2.5-7B scale).  The Pallas
+            # nibble-streaming kernel reads 0.5 byte/param; its dispatcher
+            # falls back to XLA for large-M (prompt/train) and
+            # kernel-unfriendly dims.  Numerics identical to qdense_w4.
+            from vla_touch_tpu.ops.pallas_matmul import qdense_pallas_w4
+
+            y = qdense_pallas_w4(x, p, out_dtype=x.dtype)
+        else:
+            y = qdense_any(x, p, out_dtype=x.dtype)
     else:
         y = x @ p["kernel"]
         if "bias" in p:
