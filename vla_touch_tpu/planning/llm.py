@@ -196,7 +196,12 @@ def load_llm_from_hf(cfg: LLMConfig, model_dir: str, weights=None,
     if weights is not None:
         from vla_touch_tpu.ops.quant import quantize_tree, quantize_tree_w4
 
-        qt = {"int8": quantize_tree, "int4": quantize_tree_w4}[weights]
+        # jit fuses the cast/scale/round/pack pipeline: peak transient per
+        # tensor = bf16 input + packed output, instead of 3-4 eager f32
+        # copies (for the 2.2 GB Qwen lm_head that is the difference
+        # between fitting beside the already-resident tree and OOMing).
+        qt = jax.jit({"int8": quantize_tree,
+                      "int4": quantize_tree_w4}[weights])
 
     layers = []
     for i in range(cfg.num_layers):
