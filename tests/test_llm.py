@@ -242,6 +242,35 @@ def test_quantized_llm_decode(params, rng):
     assert np.abs(h_q_lora - h_q).max() > 1e-3
 
 
+def test_fused_quantized_layers_exact(params, rng):
+    """fuse_quantized_layers (qkv + gateup launch fusion for decode
+    serving) is numerically EXACT: column-independent quantized layouts
+    concatenate without changing any output, for int8 and w4, with and
+    without runtime LoRA residuals."""
+    e = jnp.asarray(rng.normal(size=(1, 5, CFG.hidden_size)), jnp.float32)
+    lora = L.init_lora(CFG, jax.random.PRNGKey(4), rank=2)
+    for lp in lora["layers"]:
+        for t in lp:
+            lp[t]["B"] = jnp.asarray(
+                rng.normal(size=lp[t]["B"].shape) * 0.1, jnp.float32)
+    for w in ("int8", "int4"):
+        qp = L.quantize_llm_params(params, weights=w)
+        fp = L.fuse_quantized_layers(qp)
+        l0 = fp["layers"][0]
+        assert "qkv" in l0 and "gateup" in l0
+        assert "q" not in l0 and "gate" not in l0
+        assert "bias" in l0["qkv"]            # Qwen qkv-bias concatenated
+        h_u = np.asarray(L.llm_forward(CFG, qp, e))
+        h_f = np.asarray(L.llm_forward(CFG, fp, e))
+        np.testing.assert_allclose(h_f, h_u, rtol=1e-6, atol=1e-6)
+        t_u, _, _ = L.greedy_generate(CFG, qp, e, max_new_tokens=4)
+        t_f, _, _ = L.greedy_generate(CFG, fp, e, max_new_tokens=4)
+        np.testing.assert_array_equal(np.asarray(t_u), np.asarray(t_f))
+        a = np.asarray(L.llm_forward(CFG, qp, e, lora=lora))
+        b = np.asarray(L.llm_forward(CFG, fp, e, lora=lora))
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
 def test_load_llm_from_hf_streaming(params, tmp_path, rng):
     """Streamed safetensors load (optionally quantizing per layer) rebuilds
     the tree: forward parity with the in-memory params."""

@@ -329,6 +329,60 @@ def quantize_llm_params(params: dict, weights: str = "int8") -> dict:
     return out
 
 
+def fuse_quantized_layers(params: dict) -> dict:
+    """Launch fusion for a QUANTIZED tree: concatenate q/k/v into one
+    ``qkv`` leaf and gate/up into ``gateup``.
+
+    The int8 and grouped-int4 layouts are column-independent (per-channel
+    / per-(group, channel) scales), so output-axis concatenation is EXACT
+    — the fused forward is numerically identical to the unfused one.  The
+    win is per-token launch count: B=1 decode is weight-streaming bound
+    and each quantized matmul is its own kernel launch; fusing cuts 7 ->
+    4 launches per layer.  Single-chip decode serving only — the TP specs
+    (:func:`llm_tp_spec`) key on the unfused names, and
+    :func:`merge_lora` must run BEFORE fusing (runtime LoRA residuals on
+    a fused tree still work; merging does not).
+    """
+    def cat(leaves, bias_axis=0):
+        first = leaves[0]
+        if any(set(l.keys()) != set(first.keys()) for l in leaves):
+            return None
+        out = {}
+        if "w4_pack" in first:
+            if len({l["scale4"].shape[0] for l in leaves}) != 1:
+                return None           # differing group grids can't share
+            out["w4_pack"] = jnp.concatenate(
+                [l["w4_pack"] for l in leaves], axis=1)
+            out["scale4"] = jnp.concatenate(
+                [l["scale4"] for l in leaves], axis=1)
+        elif "w_i8" in first:
+            out["w_i8"] = jnp.concatenate(
+                [l["w_i8"] for l in leaves], axis=1)
+            out["scale"] = jnp.concatenate(
+                [l["scale"] for l in leaves], axis=0)
+        else:
+            return None               # not a quantized leaf
+        if "bias" in first:
+            out["bias"] = jnp.concatenate(
+                [l["bias"] for l in leaves], axis=bias_axis)
+        return out
+
+    layers = []
+    for lp in params["layers"]:
+        nlp = dict(lp)
+        qkv = cat([lp["q"], lp["k"], lp["v"]])
+        if qkv is not None:
+            nlp["qkv"] = qkv
+            for t in ("q", "k", "v"):
+                del nlp[t]
+        gu = cat([lp["gate"], lp["up"]])
+        if gu is not None:
+            nlp["gateup"] = gu
+            del nlp["gate"], nlp["up"]
+        layers.append(nlp)
+    return {**params, "layers": layers}
+
+
 # --------------------------------------------------------------------------
 # Forward
 # --------------------------------------------------------------------------
@@ -369,6 +423,41 @@ def _attend(q, k, v, mask):
                       ).astype(q.dtype).reshape(B, Lq, H * hd)
 
 
+def _lora_res(y, ab, h, scale):
+    """Full-precision LoRA residual applied to a (possibly fused) base."""
+    return y if ab is None else y + (h @ ab["A"]) @ ab["B"] * scale
+
+
+def _proj_qkv(cfg: LLMConfig, lp, lo, lscale, h, B, L):
+    """q/k/v projections, via the single fused ``qkv`` leaf when present
+    (:func:`fuse_quantized_layers`) — exact, one launch instead of 3."""
+    H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if "qkv" in lp:
+        nq, nkv = H * hd, Hkv * hd
+        q, k, v = jnp.split(_dense(h, lp["qkv"]), [nq, nq + nkv], axis=-1)
+        q = _lora_res(q, lo.get("q"), h, lscale)
+        k = _lora_res(k, lo.get("k"), h, lscale)
+        v = _lora_res(v, lo.get("v"), h, lscale)
+    else:
+        q = _dense(h, lp["q"], lo.get("q"), lscale)
+        k = _dense(h, lp["k"], lo.get("k"), lscale)
+        v = _dense(h, lp["v"], lo.get("v"), lscale)
+    return (q.reshape(B, L, H, hd), k.reshape(B, L, Hkv, hd),
+            v.reshape(B, L, Hkv, hd))
+
+
+def _mlp(lp, lo, lscale, h):
+    """SwiGLU MLP, via the fused ``gateup`` leaf when present."""
+    if "gateup" in lp:
+        g, u = jnp.split(_dense(h, lp["gateup"]), 2, axis=-1)
+        g = _lora_res(g, lo.get("gate"), h, lscale)
+        u = _lora_res(u, lo.get("up"), h, lscale)
+    else:
+        g = _dense(h, lp["gate"], lo.get("gate"), lscale)
+        u = _dense(h, lp["up"], lo.get("up"), lscale)
+    return _dense(jax.nn.silu(g) * u, lp["down"], lo.get("down"), lscale)
+
+
 def _layer(cfg: LLMConfig, lp, x, positions, mask, lora, lscale,
            kv_in=None):
     """One decoder block.  ``kv_in``: optional cached (k, v) to prepend
@@ -377,9 +466,7 @@ def _layer(cfg: LLMConfig, lp, x, positions, mask, lora, lscale,
     hd, H, Hkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
     h = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
     lo = lora or {}
-    q = _dense(h, lp["q"], lo.get("q"), lscale).reshape(B, L, H, hd)
-    k = _dense(h, lp["k"], lo.get("k"), lscale).reshape(B, L, Hkv, hd)
-    v = _dense(h, lp["v"], lo.get("v"), lscale).reshape(B, L, Hkv, hd)
+    q, k, v = _proj_qkv(cfg, lp, lo, lscale, h, B, L)
     q = _rope(q, positions, cfg.rope_theta)
     k = _rope(k, positions, cfg.rope_theta)
     if kv_in is not None:
@@ -388,9 +475,7 @@ def _layer(cfg: LLMConfig, lp, x, positions, mask, lora, lscale,
     att = _attend(q, k, v, mask)
     x = x + _dense(att, lp["o"], lo.get("o"), lscale)
     h = _rmsnorm(x, lp["post_norm"], cfg.rms_eps)
-    g = _dense(h, lp["gate"], lo.get("gate"), lscale)
-    u = _dense(h, lp["up"], lo.get("up"), lscale)
-    x = x + _dense(jax.nn.silu(g) * u, lp["down"], lo.get("down"), lscale)
+    x = x + _mlp(lp, lo, lscale, h)
     return x, (k, v)
 
 
@@ -491,10 +576,7 @@ def greedy_generate(cfg: LLMConfig, params: dict, prompt_embeds,
             kc, vc = cache[li]
             h = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
             lo = lol or {}
-            q = _dense(h, lp["q"], lo.get("q"), lscale).reshape(
-                B, 1, cfg.num_heads, hd)
-            k = _dense(h, lp["k"], lo.get("k"), lscale).reshape(B, 1, Hkv, hd)
-            v = _dense(h, lp["v"], lo.get("v"), lscale).reshape(B, 1, Hkv, hd)
+            q, k, v = _proj_qkv(cfg, lp, lo, lscale, h, B, 1)
             q = _rope(q, pos, cfg.rope_theta)
             k = _rope(k, pos, cfg.rope_theta)
             kc = jax.vmap(
@@ -506,10 +588,7 @@ def greedy_generate(cfg: LLMConfig, params: dict, prompt_embeds,
             att = _attend(q, kc, vc, valid)
             x2 = x + _dense(att, lp["o"], lo.get("o"), lscale)
             h2 = _rmsnorm(x2, lp["post_norm"], cfg.rms_eps)
-            g = _dense(h2, lp["gate"], lo.get("gate"), lscale)
-            u = _dense(h2, lp["up"], lo.get("up"), lscale)
-            x = x2 + _dense(jax.nn.silu(g) * u, lp["down"], lo.get("down"),
-                            lscale)
+            x = x2 + _mlp(lp, lo, lscale, h2)
             new_cache.append((kc, vc))
         x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
         logits = lm_logits(cfg, params, x[:, 0])
