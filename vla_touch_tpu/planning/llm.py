@@ -462,8 +462,7 @@ def _layer(cfg: LLMConfig, lp, x, positions, mask, lora, lscale,
            kv_in=None):
     """One decoder block.  ``kv_in``: optional cached (k, v) to prepend
     (decode step); returns (x, (k_new, v_new))."""
-    B, L, D = x.shape
-    hd, H, Hkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+    B, L, _ = x.shape
     h = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
     lo = lora or {}
     q, k, v = _proj_qkv(cfg, lp, lo, lscale, h, B, L)
@@ -552,7 +551,6 @@ def greedy_generate(cfg: LLMConfig, params: dict, prompt_embeds,
     tok0 = jnp.argmax(logits0, axis=-1)
     ent0 = token_entropy(logits0)
 
-    hd, Hkv = cfg.head_dim, cfg.num_kv_heads
     Lmax = Lp + T
 
     def grow(kv):
