@@ -308,6 +308,13 @@ def test_load_llm_from_hf_streaming(params, tmp_path, rng):
     corr = np.corrcoef(h_ref.ravel(), h_q.ravel())[0, 1]
     assert corr > 0.99, corr
 
+    qf = L.load_llm_from_hf(CFG, str(tmp_path), weights="int8", fuse=True)
+    assert "qkv" in qf["layers"][0] and "gateup" in qf["layers"][0]
+    np.testing.assert_allclose(np.asarray(L.llm_forward(CFG, qf, e)), h_q,
+                               rtol=1e-6, atol=1e-6)
+    with pytest.raises(ValueError, match="fuse"):
+        L.load_llm_from_hf(CFG, str(tmp_path), fuse=True)
+
 
 def test_tp_sharded_greedy_decode(params, rng):
     """KV-cache greedy decode runs under a TP mesh (the serving layout for

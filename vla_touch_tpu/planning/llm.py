@@ -145,7 +145,7 @@ def hf_key_map(cfg: LLMConfig) -> dict:
 
 
 def load_llm_from_hf(cfg: LLMConfig, model_dir: str, weights=None,
-                     dtype=jnp.bfloat16) -> dict:
+                     dtype=jnp.bfloat16, fuse: bool = False) -> dict:
     """Stream a Qwen2/LLaMA safetensors checkpoint into the tree.
 
     ``weights='int8'|'int4'`` quantizes each decoder layer AS IT LOADS, so
@@ -153,7 +153,11 @@ def load_llm_from_hf(cfg: LLMConfig, model_dir: str, weights=None,
     fits a single 16 GB chip (a load-everything-then-quantize pass peaks at
     bf16+int8 ≈ 23 GB and OOMs).  Replaces the reference's
     ``infer_auto_device_map`` + disk-offload loading (llm.py:45-75).
+    ``fuse=True`` (quantized loads only) additionally applies
+    :func:`fuse_quantized_layers` for single-chip decode serving.
     """
+    if fuse and weights is None:
+        raise ValueError("fuse=True requires weights='int8'|'int4'")
     import glob
     import os
 
@@ -223,6 +227,8 @@ def load_llm_from_hf(cfg: LLMConfig, model_dir: str, weights=None,
         node[path[-1]] = get(hf_key)
     if weights is not None and "lm_head" in params:
         params["lm_head"] = qt(params["lm_head"])
+    if fuse:
+        params = fuse_quantized_layers(params)
     return params
 
 
