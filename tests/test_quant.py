@@ -286,6 +286,38 @@ def test_w4_pallas_kernel_matches_xla(rng):
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_w4_pallas_kernel_differentiable(rng):
+    """jax.grad through the w4 kernel path (the QLoRA train-through-
+    quantized-base flow) must not crash on pallas_call's missing diff rule
+    and must match the XLA path's gradient exactly (custom_vjp backward =
+    vjp of qdense_w4)."""
+    from vla_touch_tpu.ops.pallas_matmul import qdense_pallas_w4
+    from vla_touch_tpu.ops.quant import qdense_w4, quantize_linear_w4
+
+    K, N, M = 256, 128, 3
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.05
+    b = rng.normal(size=(N,)).astype(np.float32) * 0.01
+    qp = quantize_linear_w4({"kernel": w, "bias": b})
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+
+    # Fixed cotangent: the kernel's forward differs from XLA's at the
+    # bf16-input cast, so a loss like sum(y^2) would feed each path a
+    # slightly different g; a constant weighting isolates the BACKWARD,
+    # which must be bit-identical (the custom_vjp bwd IS qdense_w4's vjp).
+    c = jnp.asarray(rng.normal(size=(M, N)), jnp.float32)
+
+    def f_pal(xx):
+        return jnp.sum(qdense_pallas_w4(xx, qp, out_dtype=jnp.float32,
+                                        interpret=True) * c)
+
+    def f_xla(xx):
+        return jnp.sum(qdense_w4(xx, qp, out_dtype=jnp.float32) * c)
+
+    g_pal = np.asarray(jax.grad(f_pal)(x))
+    g_xla = np.asarray(jax.grad(f_xla)(x))
+    np.testing.assert_allclose(g_pal, g_xla, rtol=1e-6, atol=1e-7)
+
+
 def test_quantize_rdt_params_int4_layout():
     params = R.init_rdt(RCFG, jax.random.PRNGKey(0))
     qparams = Q.quantize_rdt_params(params, weights="int4")

@@ -420,6 +420,46 @@ def w4a8_matmul(x, w4_pack, scale4, bias=None, *, block_n: int = 512,
     return out[:M].reshape(*lead, N)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _w4a8_matmul_diff(out_dtype, interpret, x, w4_pack, scale4, bias):
+    """w4a8_matmul with a differentiation rule: forward runs the Pallas
+    kernel; backward is the vjp of the numerically-identical XLA
+    expression (``qdense_w4``), so gradients through a w4-quantized base
+    (the QLoRA training flow) match the unfused path exactly instead of
+    hitting pallas_call's missing differentiation rule.  The quantized
+    weight/scale leaves are frozen (zero cotangent)."""
+    return w4a8_matmul(x, w4_pack, scale4, bias, out_dtype=out_dtype,
+                       interpret=interpret)
+
+
+def _w4a8_diff_fwd(out_dtype, interpret, x, w4_pack, scale4, bias):
+    y = w4a8_matmul(x, w4_pack, scale4, bias, out_dtype=out_dtype,
+                    interpret=interpret)
+    return y, (x, w4_pack, scale4, bias)
+
+
+def _w4a8_diff_bwd(out_dtype, interpret, res, g):
+    import numpy as onp
+
+    from vla_touch_tpu.ops.quant import qdense_w4
+
+    x, w4_pack, scale4, bias = res
+
+    def ref(xx, bb):
+        qp = {"w4_pack": w4_pack, "scale4": scale4}
+        if bb is not None:
+            qp["bias"] = bb
+        return qdense_w4(xx, qp, out_dtype=out_dtype)
+
+    _, vjp = jax.vjp(ref, x, bias)
+    dx, dbias = vjp(g)
+    dw = onp.zeros(w4_pack.shape, dtype=jax.dtypes.float0)
+    return dx, dw, jnp.zeros_like(scale4), dbias
+
+
+_w4a8_matmul_diff.defvjp(_w4a8_diff_fwd, _w4a8_diff_bwd)
+
+
 def qdense_pallas_w4(x, qp: dict, out_dtype=jnp.bfloat16, interpret=False):
     """Layout-dispatching Pallas drop-in for
     :func:`vla_touch_tpu.ops.quant.qdense_any`: grouped-int4 leaves hit the
@@ -440,8 +480,8 @@ def qdense_pallas_w4(x, qp: dict, out_dtype=jnp.bfloat16, interpret=False):
         from vla_touch_tpu.ops.quant import qdense_w4
 
         return qdense_w4(x, qp, out_dtype=out_dtype)
-    return w4a8_matmul(x, qp["w4_pack"], qp["scale4"], qp.get("bias"),
-                       out_dtype=out_dtype, interpret=interpret)
+    return _w4a8_matmul_diff(out_dtype, interpret, x, qp["w4_pack"],
+                             qp["scale4"], qp.get("bias"))
 
 
 def qdense_pallas_a8w8(x, qp: dict, out_dtype=jnp.bfloat16, interpret=False):

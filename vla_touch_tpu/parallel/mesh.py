@@ -97,15 +97,10 @@ def fsdp_param_shardings(mesh: Mesh, params) -> dict:
     def leaf_sharding(path, leaf):
         shape = tuple(getattr(leaf, "shape", ()))
         tp = _rdt_tp_spec(path) if use_tp else P()
-        spec = list(tp) + [None] * (len(shape) - len(tp))
         # Largest axis not already TP-sharded and divisible by n_data;
-        # small leaves (norm scales shorter than the axis) stay replicated.
-        for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
-            if spec[i] is None and shape[i] % n_data == 0 \
-                    and shape[i] >= n_data:
-                spec[i] = DATA_AXIS
-                break
-        return NamedSharding(mesh, P(*spec))
+        # small leaves (norm scales shorter than the axis) keep just the
+        # TP spec.  Same selection policy as the ZeRO-2 moment sharding.
+        return NamedSharding(mesh, zero_spec_for(shape, n_data, base=tp))
 
     return jax.tree_util.tree_map_with_path(leaf_sharding, params)
 
@@ -113,18 +108,23 @@ def fsdp_param_shardings(mesh: Mesh, params) -> dict:
 # ---- ZeRO-2 analogue: shard optimizer moments over the data axis ---------------
 
 
-def zero_spec_for(shape: tuple, n_data: int) -> P:
-    """Shard the largest axis divisible by n_data over the data axis;
-    replicate if none divides."""
+def zero_spec_for(shape: tuple, n_data: int, base: Optional[P] = None) -> P:
+    """Shard the largest free axis divisible by n_data over the data axis.
+
+    ``base`` (a partial PartitionSpec, e.g. a TP spec) marks axes already
+    taken; the data axis goes on the largest remaining one.  Falls back to
+    ``base`` (or replication) when no axis divides — the single policy
+    shared by ZeRO-2 moment sharding and ZeRO-3/FSDP param sharding.
+    """
     if not shape:
-        return P()
-    order = sorted(range(len(shape)), key=lambda i: -shape[i])
-    for i in order:
-        if shape[i] % n_data == 0 and shape[i] >= n_data:
-            spec = [None] * len(shape)
+        return base if base is not None else P()
+    spec = list(base) if base is not None else []
+    spec = spec + [None] * (len(shape) - len(spec))
+    for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+        if spec[i] is None and shape[i] % n_data == 0 and shape[i] >= n_data:
             spec[i] = DATA_AXIS
             return P(*spec)
-    return P()
+    return base if base is not None else P()
 
 
 def zero_sharding(mesh: Mesh, tree) -> dict:

@@ -349,7 +349,7 @@ def fuse_quantized_layers(params: dict) -> dict:
     :func:`merge_lora` must run BEFORE fusing (runtime LoRA residuals on
     a fused tree still work; merging does not).
     """
-    def cat(leaves, bias_axis=0):
+    def cat(leaves):
         first = leaves[0]
         if any(set(l.keys()) != set(first.keys()) for l in leaves):
             return None
@@ -369,8 +369,8 @@ def fuse_quantized_layers(params: dict) -> dict:
         else:
             return None               # not a quantized leaf
         if "bias" in first:
-            out["bias"] = jnp.concatenate(
-                [l["bias"] for l in leaves], axis=bias_axis)
+            out["bias"] = jnp.concatenate([l["bias"] for l in leaves],
+                                          axis=0)
         return out
 
     layers = []

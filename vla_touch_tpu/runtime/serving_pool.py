@@ -204,8 +204,14 @@ def from_policy(cfg, rdt_params, vision_params, seed: int = 0,
                              proprio, images, image_mask, text_embeds,
                              text_mask)
 
+    max_len = cfg.rdt.model.max_lang_cond_len
     if text_pad_len is None:
-        text_pad_len = cfg.rdt.model.max_lang_cond_len
+        text_pad_len = max_len
+    elif text_pad_len > max_len:
+        raise ValueError(
+            f"text_pad_len {text_pad_len} exceeds the model's "
+            f"max_lang_cond_len {max_len} (the positional-embedding table "
+            f"has no rows past it)")
     return PolicyServingPool(step, max_batch=max_batch,
                              max_wait_ms=max_wait_ms, buckets=buckets,
                              text_pad_len=text_pad_len)

@@ -182,8 +182,8 @@ def make_sharded_train_step(mesh, rcfg: R.RDTRunnerConfig, tcfg: TrainConfig):
     opt_shape = jax.eval_shape(opt.init, params_shape)
     opt_sh = mesh_lib.zero_sharding(mesh, opt_shape)
     ema_sh = ema_lib.EmaState(
-        shadow=(mesh_lib.fsdp_param_shardings(mesh, params_shape)
-                if tcfg.zero3
+        # zero3: the shadow shards exactly like the params it mirrors.
+        shadow=(param_sh if tcfg.zero3
                 else mesh_lib.zero_sharding(mesh, params_shape)),
         num_updates=mesh_lib.replicated(mesh),
     )
