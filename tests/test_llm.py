@@ -336,3 +336,73 @@ def test_tp_sharded_greedy_decode(params, rng):
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks_ref))
     np.testing.assert_allclose(np.asarray(ents), np.asarray(ents_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# Sampled generation (reasoning mode, reference run_llm.py:273)
+# --------------------------------------------------------------------------
+
+
+def test_sample_generate_low_temperature_matches_greedy(params, rng):
+    """As temperature -> 0 the tempered categorical collapses to argmax."""
+    prompt = jnp.asarray(rng.normal(size=(2, 4, CFG.hidden_size)),
+                         jnp.float32)
+    g_toks, g_ents, _ = L.greedy_generate(CFG, params, prompt,
+                                          max_new_tokens=6, eos_id=-1)
+    s_toks, s_ents, s_surp, _ = L.sample_generate(
+        CFG, params, prompt, jax.random.PRNGKey(7), max_new_tokens=6,
+        eos_id=-1, temperature=1e-4)
+    np.testing.assert_array_equal(np.asarray(s_toks), np.asarray(g_toks))
+    np.testing.assert_allclose(np.asarray(s_ents), np.asarray(g_ents),
+                               rtol=1e-5, atol=1e-6)
+    # at ~zero temperature the chosen token holds ~all tempered mass
+    assert float(jnp.max(s_surp)) < 1e-3
+
+
+def test_sample_generate_n_sequences(params, rng):
+    """num_return_sequences tiles the prompt: shapes (B*N, T), batch-major
+    grouping, and independent samples differ at high temperature."""
+    B, N, T = 2, 3, 8
+    prompt = jnp.asarray(rng.normal(size=(B, 4, CFG.hidden_size)),
+                         jnp.float32)
+    toks, ents, surps, lengths = L.sample_generate(
+        CFG, params, prompt, jax.random.PRNGKey(3), max_new_tokens=T,
+        eos_id=-1, temperature=5.0, num_return_sequences=N)
+    assert toks.shape == (B * N, T)
+    assert ents.shape == (B * N, T) and surps.shape == (B * N, T)
+    assert lengths.shape == (B * N,)
+    rows = np.asarray(toks)
+    # the N samples of input 0 occupy rows 0..N-1; at temperature 5 over a
+    # 384-vocab at least one pair must differ
+    assert any(not np.array_equal(rows[i], rows[j])
+               for i in range(N) for j in range(i + 1, N))
+    # reproducible under the same key
+    toks2, _, _, _ = L.sample_generate(
+        CFG, params, prompt, jax.random.PRNGKey(3), max_new_tokens=T,
+        eos_id=-1, temperature=5.0, num_return_sequences=N)
+    np.testing.assert_array_equal(rows, np.asarray(toks2))
+
+
+def test_sample_surprisal_matches_manual(params, rng):
+    """surprisals[:, 0] == -log2 softmax(logits0 / T)[tok0] — the
+    reference's get_sentence_entropy math (utils/llm.py:223-243)."""
+    temp = 2.0
+    prompt = jnp.asarray(rng.normal(size=(2, 4, CFG.hidden_size)),
+                         jnp.float32)
+    toks, _, surps, _ = L.sample_generate(
+        CFG, params, prompt, jax.random.PRNGKey(11), max_new_tokens=3,
+        eos_id=-1, temperature=temp)
+    h = L.llm_forward(CFG, params, prompt)
+    logits0 = L.lm_logits(CFG, params, h[:, -1]).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits0 / temp, axis=-1)
+    want = -np.asarray(logp)[np.arange(2), np.asarray(toks[:, 0])] / np.log(2)
+    np.testing.assert_allclose(np.asarray(surps[:, 0]), want,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sequence_avg_surprisal_masks_past_eos():
+    surps = jnp.asarray([[1.0, 2.0, 3.0, 4.0],
+                         [2.0, 2.0, 2.0, 2.0]])
+    lengths = jnp.asarray([2, 4])
+    avg = np.asarray(L.sequence_avg_surprisal(surps, lengths))
+    np.testing.assert_allclose(avg, [1.5, 2.0])

@@ -534,28 +534,83 @@ def lm_loss(cfg: LLMConfig, params: dict, input_embeds, target_ids,
 
 
 def token_entropy(logits):
-    """Shannon entropy (nats) per position — the reference's introspection
-    signal (llm.py:223-241)."""
+    """Shannon entropy (nats) of the next-token distribution per position.
+
+    A distribution-level uncertainty signal reported alongside the
+    reference's per-token surprisal (see :func:`token_surprisal`); both are
+    exposed on the decode surfaces."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return -jnp.sum(jnp.exp(logp) * logp, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "eos_id"))
-def greedy_generate(cfg: LLMConfig, params: dict, prompt_embeds,
-                    max_new_tokens: int = 32, eos_id: int = 1,
-                    lora: Optional[dict] = None):
-    """Greedy decode with a preallocated KV cache (one ``lax.scan``).
+def token_surprisal(logits, tok, temperature=None):
+    """-log2 p(tok) under the distribution the token was drawn from — the
+    reference's introspection signal (``get_sentence_entropy``,
+    octopi/octopi_s/utils/llm.py:223-243: despite its name it accumulates
+    the emitted token's negative log2-probability from the generation
+    scores, which HF tempers before sampling)."""
+    lg = logits.astype(jnp.float32)
+    if temperature is not None:
+        lg = lg / temperature
+    logp = jax.nn.log_softmax(lg, axis=-1)
+    chosen = jnp.take_along_axis(logp, tok[..., None], -1)[..., 0]
+    return -chosen / jnp.log(2.0)
 
-    prompt_embeds (B, Lp, D).  Returns (tokens (B, T), entropies (B, T),
-    lengths (B,)) — positions after EOS hold EOS."""
+
+def sequence_avg_surprisal(surprisals, lengths):
+    """Average -log2 p per emitted token, per sequence — the reference's
+    ``avg_entropy_per_token`` (utils/llm.py:236-241).  Averaged over the
+    first ``lengths[i]`` steps (up to and including EOS); the reference
+    divides by the full padded generation length including post-EOS pad
+    steps (llm.py:238), a padding artifact not reproduced."""
+    T = surprisals.shape[1]
+    mask = (jnp.arange(T)[None] < lengths[:, None]).astype(jnp.float32)
+    total = jnp.sum(surprisals * mask, axis=1)
+    return total / jnp.maximum(lengths, 1).astype(jnp.float32)
+
+
+def _generate_impl(cfg: LLMConfig, params: dict, prompt_embeds,
+                   max_new_tokens: int, eos_id: int, lora: Optional[dict],
+                   temperature: Optional[float], key,
+                   num_return_sequences: int):
+    """Shared decode loop: prompt pass + preallocated-KV ``lax.scan``.
+
+    ``temperature is None`` → greedy argmax (``key`` unused); otherwise
+    categorical sampling from tempered logits.  ``num_return_sequences``
+    tiles the prompt-pass KV cache N× (the prompt forward runs ONCE at B —
+    the reference's HF ``generate`` expands the inputs and pays the prompt
+    N times) so rows [b*N, (b+1)*N) are independent samples of input b.
+
+    Returns (tokens (B*N, T), entropies, surprisals, lengths)."""
     B, Lp, D = prompt_embeds.shape
     T = max_new_tokens
-    # Prompt pass
+    N = num_return_sequences
+    sampling = temperature is not None
+
+    def select(logits, k):
+        if not sampling:
+            return jnp.argmax(logits, axis=-1)
+        return jax.random.categorical(
+            k, logits.astype(jnp.float32) / temperature, axis=-1)
+
+    # Prompt pass (at B; samples share it)
     hidden, kvs = llm_forward(cfg, params, prompt_embeds, lora=lora,
                               return_kv=True)
     logits0 = lm_logits(cfg, params, hidden[:, -1])
-    tok0 = jnp.argmax(logits0, axis=-1)
+    if N > 1:
+        logits0 = jnp.repeat(logits0, N, axis=0)
+        kvs = [(jnp.repeat(k, N, axis=0), jnp.repeat(v, N, axis=0))
+               for k, v in kvs]
+    BN = B * N
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if sampling:
+        key, k0 = jax.random.split(key)
+    else:
+        k0 = key
+    tok0 = select(logits0, k0)
     ent0 = token_entropy(logits0)
+    surp0 = token_surprisal(logits0, tok0, temperature)
 
     Lmax = Lp + T
 
@@ -565,14 +620,18 @@ def greedy_generate(cfg: LLMConfig, params: dict, prompt_embeds,
         return jnp.pad(k, pad), jnp.pad(v, pad)
 
     cache = [grow(kv) for kv in kvs]
-    kv_len0 = jnp.full((B,), Lp, jnp.int32)
+    kv_len0 = jnp.full((BN,), Lp, jnp.int32)
 
     lscale = (lora or {}).get("scale", 0.0)
     llayers = (lora or {}).get("layers", [None] * cfg.num_layers)
 
     def step(carry, _):
-        cache, tok, kv_len, done = carry
-        x = embed_tokens(params, tok)[:, None]            # (B, 1, D)
+        cache, tok, kv_len, done, key = carry
+        if sampling:
+            key, ks = jax.random.split(key)
+        else:
+            ks = key
+        x = embed_tokens(params, tok)[:, None]            # (BN, 1, D)
         pos = kv_len[:, None]
         valid = (jnp.arange(Lmax)[None, None] < (kv_len + 1)[:, None, None])
         new_cache = []
@@ -580,7 +639,7 @@ def greedy_generate(cfg: LLMConfig, params: dict, prompt_embeds,
             kc, vc = cache[li]
             h = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
             lo = lol or {}
-            q, k, v = _proj_qkv(cfg, lp, lo, lscale, h, B, 1)
+            q, k, v = _proj_qkv(cfg, lp, lo, lscale, h, BN, 1)
             q = _rope(q, pos, cfg.rope_theta)
             k = _rope(k, pos, cfg.rope_theta)
             kc = jax.vmap(
@@ -596,23 +655,63 @@ def greedy_generate(cfg: LLMConfig, params: dict, prompt_embeds,
             new_cache.append((kc, vc))
         x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
         logits = lm_logits(cfg, params, x[:, 0])
-        nxt = jnp.argmax(logits, axis=-1)
+        nxt = select(logits, ks)
         ent = token_entropy(logits)
         nxt = jnp.where(done, eos_id, nxt)
+        surp = token_surprisal(logits, nxt, temperature)
         new_done = done | (nxt == eos_id)
-        return (new_cache, nxt, kv_len + 1, new_done), (nxt, ent)
+        return (new_cache, nxt, kv_len + 1, new_done, key), (nxt, ent, surp)
 
     done0 = tok0 == eos_id
     if T > 1:
-        (_, _, _, _), (toks, ents) = jax.lax.scan(
-            step, (cache, tok0, kv_len0, done0), None, length=T - 1)
-        tokens = jnp.concatenate([tok0[None], toks], axis=0).T   # (B, T)
+        _, (toks, ents, surps) = jax.lax.scan(
+            step, (cache, tok0, kv_len0, done0, key), None, length=T - 1)
+        tokens = jnp.concatenate([tok0[None], toks], axis=0).T   # (BN, T)
         entropies = jnp.concatenate([ent0[None], ents], axis=0).T
+        surprisals = jnp.concatenate([surp0[None], surps], axis=0).T
     else:
         tokens, entropies = tok0[:, None], ent0[:, None]
+        surprisals = surp0[:, None]
     lengths = jnp.sum(tokens != eos_id, axis=1) + (
         jnp.any(tokens == eos_id, axis=1)).astype(jnp.int32)
+    return tokens, entropies, surprisals, lengths
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "eos_id"))
+def greedy_generate(cfg: LLMConfig, params: dict, prompt_embeds,
+                    max_new_tokens: int = 32, eos_id: int = 1,
+                    lora: Optional[dict] = None):
+    """Greedy decode with a preallocated KV cache (one ``lax.scan``).
+
+    prompt_embeds (B, Lp, D).  Returns (tokens (B, T), entropies (B, T),
+    lengths (B,)) — positions after EOS hold EOS."""
+    tokens, entropies, _, lengths = _generate_impl(
+        cfg, params, prompt_embeds, max_new_tokens, eos_id, lora,
+        temperature=None, key=None, num_return_sequences=1)
     return tokens, entropies, lengths
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "eos_id",
+                                   "temperature", "num_return_sequences"))
+def sample_generate(cfg: LLMConfig, params: dict, prompt_embeds, key,
+                    max_new_tokens: int = 32, eos_id: int = 1,
+                    lora: Optional[dict] = None,
+                    temperature: float = 1.0,
+                    num_return_sequences: int = 1):
+    """Temperature sampling with N return sequences per input — the
+    reference's reasoning-mode generation (``run_llm.py:273``:
+    ``do_sample=True, temperature=…, num_return_sequences=…``).
+
+    prompt_embeds (B, Lp, D); rows [b*N, (b+1)*N) of the outputs are the N
+    samples of input b.  Returns (tokens (B*N, T), entropies (B*N, T),
+    surprisals (B*N, T) — per-token -log2 p under the tempered sampling
+    distribution, see :func:`token_surprisal` — and lengths (B*N,)).
+    ``temperature`` is a static compile-time constant (one program per
+    distinct value)."""
+    return _generate_impl(cfg, params, prompt_embeds, max_new_tokens,
+                          eos_id, lora, temperature=float(temperature),
+                          key=key,
+                          num_return_sequences=int(num_return_sequences))
 
 
 # --------------------------------------------------------------------------

@@ -192,6 +192,31 @@ def make_llm_interface(cfg, params, tokenizer=None, lora=None,
         out = [int(t) for t in np.asarray(toks[0]) if int(t) != tok.EOS][:n]
         return tok.decode(out)
 
+    def sample_fn(input_embeds, num: int, temperature: float,
+                  seed: int = 0):
+        """N independent tempered samples of one prompt — the reasoning
+        mode's generation call (reference ``run_llm.py:273``).  Returns a
+        list of ``{"text", "avg_surprisal", "total_surprisal"}`` dicts
+        (surprisal in bits, the reference's ``get_sentence_entropy``
+        quantities)."""
+        toks, _, surps, lengths = L.sample_generate(
+            cfg, params, jnp.asarray(input_embeds)[None],
+            jax.random.PRNGKey(seed), max_new_tokens=max_new_tokens,
+            eos_id=tok.EOS, lora=lora, temperature=temperature,
+            num_return_sequences=num)
+        avg = np.asarray(L.sequence_avg_surprisal(surps, lengths))
+        out = []
+        for i in range(num):
+            n = int(lengths[i])
+            ids = [int(t) for t in np.asarray(toks[i])
+                   if int(t) != tok.EOS][:n]
+            out.append({
+                "text": tok.decode(ids),
+                "avg_surprisal": float(avg[i]),
+                "total_surprisal": float(avg[i] * max(n, 1)),
+            })
+        return out
+
     iface = LLMInterface(dim=cfg.hidden_size, embed_text=embed_text,
                          loss_fn=loss_fn, generate_fn=generate_fn,
                          start_embed=np.asarray(L.embed_tokens(
@@ -200,7 +225,188 @@ def make_llm_interface(cfg, params, tokenizer=None, lora=None,
                              params, jnp.asarray([tok.TACTILE_END])))[0])
     iface.last_entropy = None
     iface.tokenizer = tok
+    iface.sample_fn = sample_fn
     return iface
+
+
+# --------------------------------------------------------------------------
+# Scenario reasoning (reference run_llm.py:201-330)
+# --------------------------------------------------------------------------
+
+
+def render_chat(chat: list, add_generation_prompt: bool = True) -> str:
+    """Render role/content turns to one prompt string — the analogue of the
+    reference's ``tokenizer.apply_chat_template`` (run_llm.py:244,266) in
+    ChatML form; our LLM surfaces consume raw text, so the template is
+    plain text rather than tokenizer-owned."""
+    parts = [f"<|im_start|>{t['role']}\n{t['content']}<|im_end|>\n"
+             for t in chat]
+    if add_generation_prompt:
+        parts.append("<|im_start|>assistant\n")
+    return "".join(parts)
+
+
+def parse_answer_option(text: str) -> str:
+    """Extract the lettered answer: first character after the last
+    ``"Answer: "`` (the whole text's first character when absent) with
+    ``*`` markdown stripped — exactly reference run_llm.py:285."""
+    return text.replace("*", "").split("Answer: ")[-1][:1]
+
+
+def select_generation(candidates: list, selection_type: str,
+                      valid_options=("A", "B", "C"), rng=None):
+    """Pick the final generation from N sampled candidates
+    (reference run_llm.py:275-306).
+
+    ``candidates``: list of ``{"text", "avg_surprisal"}`` dicts (surprisal
+    in bits/token, :func:`planning.llm.sequence_avg_surprisal`).
+
+    - ``majority_voting``: the option with the most votes; a random
+      generation among its supporters (run_llm.py:299-302).
+    - ``best_of_n``: per-candidate normalized confidence
+      ``(max_avg - avg_i) / max_avg`` with ``max_avg`` over ALL candidates
+      (run_llm.py:279-280 — the reference's ``avg_entropy_per_token`` is
+      this surprisal); options ranked by SUM of their supporters' scores,
+      the winner's highest-scored generation returned (run_llm.py:303-306).
+
+    Returns ``(final_text, option, option_counts, option_scores)``; when no
+    candidate parses to a valid option the first candidate is returned with
+    ``option=None`` (the reference raises on an empty max() — run_llm.py
+    :300 — which a driver must not)."""
+    import random as _random
+
+    rng = rng or _random.Random(0)
+    option_generations: dict = {}
+    option_counts: dict = {}
+    option_scores: dict = {}
+    if selection_type not in ("majority_voting", "best_of_n"):
+        raise ValueError(selection_type)
+    max_avg = max(c["avg_surprisal"] for c in candidates)
+    for c in candidates:
+        option = parse_answer_option(c["text"])
+        if option not in valid_options:
+            continue
+        score = ((max_avg - c["avg_surprisal"]) / max_avg
+                 if max_avg > 0 else 0.0)
+        option_generations.setdefault(option, []).append(c["text"])
+        option_counts[option] = option_counts.get(option, 0) + 1
+        option_scores.setdefault(option, []).append(score)
+    if not option_counts:
+        return candidates[0]["text"], None, {}, {}
+    if selection_type == "majority_voting":
+        best = max(option_counts, key=option_counts.get)
+        final = rng.choice(option_generations[best])
+    else:
+        best = max(option_scores, key=lambda k: sum(option_scores[k]))
+        idx = option_scores[best].index(max(option_scores[best]))
+        final = option_generations[best][idx]
+    return final, best, option_counts, {
+        k: sum(v) for k, v in option_scores.items()}
+
+
+def reason_llm(encoder_state: PE.TactileEncoderState, llm: LLMInterface,
+               proj_params: dict, rows: list, output_dir: str, *,
+               reasoning_sampling_num: int = 1,
+               reasoning_temperature: float = 0.7,
+               reasoning_selection_type: str = "majority_voting",
+               generate_idx=(0,), answer_step_idx: Optional[int] = None,
+               frame_size: int = 224, seed: int = 0,
+               rag_fn: Optional[Callable] = None) -> dict:
+    """Scenario-reasoning driver (reference ``run_llm.py:201-330``).
+
+    ``rows`` are chat-schema rows (``qa.generate_physiclear_scenario_qa``):
+    walk each chat, greedy-generating the assistant turns whose index is in
+    ``generate_idx`` (descriptions/rankings) and keeping the dataset's text
+    for the rest; the FINAL turn is answered with ``reasoning_sampling_num``
+    tempered samples reduced by :func:`select_generation` (one greedy pass
+    when 1, run_llm.py:268-272).  Dumps ``reason/{scenario}.json`` per
+    scenario and returns ``{scenario: [records]}``."""
+    from vla_touch_tpu.planning.qa import TACT_MARKER
+    from vla_touch_tpu.planning.llm_splice import TACTILE_PLACEHOLDER
+
+    proj = TactileProjector(llm.dim)
+
+    def splice(text: str, feats: list):
+        text = text.replace(TACT_MARKER, TACTILE_PLACEHOLDER)
+        n = text.count(TACTILE_PLACEHOLDER)
+        return process_user_input(
+            text, feats[:n], llm.embed_text, lambda f: f,
+            lambda f: np.asarray(proj.apply({"params": proj_params},
+                                            jnp.asarray(f)))[None],
+            llm.start_embed, llm.end_embed)
+
+    all_reason: dict = {}
+    sample_no: dict = {}
+    valid = ("A", "B", "C", "D")
+    for ri, row in enumerate(rows):
+        info = row.get("info", {})
+        scenario = f"{info.get('scenario', 'scenario')}_" \
+                   f"{info.get('target', ri)}"
+        chat = list(row["chat"])
+        if answer_step_idx is not None:
+            chat = chat[: int(answer_step_idx) * 2]
+        feats = [_encode_video(encoder_state, v, frame_size)
+                 for v in info.get("tactile", [])]
+        sample_no[scenario] = sample_no.get(scenario, 0) + 1
+        generated_chat = []
+        for c in range(len(chat) - 1):
+            turn = dict(chat[c])
+            if c % 2 == 0:                                  # user turn
+                generated_chat.append(turn)
+                continue
+            answer_idx = (c - 1) // 2
+            if answer_idx in tuple(generate_idx):
+                prompt = render_chat(generated_chat)
+                generation = llm.generate_fn(splice(prompt, feats))
+                turn["generate"] = True
+                turn["true_answer"] = turn["content"]
+                turn["content"] = generation
+            else:
+                turn["generate"] = False
+            if answer_idx == 0 and rag_fn is not None:
+                # RAG: append the retrieved most-similar objects to the
+                # first (description) answer — reference run_llm.py:258-264.
+                turn["content"] += ("\nMost similar objects (in order of "
+                                    "decreasing similarity):"
+                                    + rag_fn(feats))
+            generated_chat.append(turn)
+
+        final_prompt = render_chat(generated_chat)
+        final_true_answer = chat[-1]["content"][:1]
+        option_counts: dict = {}
+        option_scores: dict = {}
+        if reasoning_sampling_num == 1:
+            final_generation = llm.generate_fn(splice(final_prompt, feats))
+        else:
+            cands = llm.sample_fn(splice(final_prompt, feats),
+                                  reasoning_sampling_num,
+                                  reasoning_temperature, seed=seed + ri)
+            final_generation, _, option_counts, option_scores = \
+                select_generation(
+                    cands, reasoning_selection_type,
+                    valid_options=valid[: info.get("num_candidates", 3)])
+        all_reason.setdefault(scenario, []).append({
+            "sample_no": sample_no[scenario],
+            "sample_paths": list(info.get("tactile", [])),
+            "all_objects": info.get("objects", {}),
+            "num_candidates": info.get("num_candidates"),
+            "chat": generated_chat,
+            "generate_idx": list(generate_idx),
+            "answer_step_idx": answer_step_idx,
+            "reasoning_sampling_num": reasoning_sampling_num,
+            "reasoning_selection_type": reasoning_selection_type,
+            "final_true_answer": final_true_answer,
+            "final_generation": final_generation,
+            "option_counts": option_counts,
+            "option_entropies": option_scores,
+        })
+
+    reason_dir = os.path.join(output_dir, "reason")
+    os.makedirs(reason_dir, exist_ok=True)
+    for scenario, records in all_reason.items():
+        with open(os.path.join(reason_dir, f"{scenario}.json"), "w") as f:
+            json.dump(records, f, indent=2)
+    return all_reason
 
 
 def train_projection_and_lora(encoder_state: PE.TactileEncoderState,
