@@ -159,3 +159,34 @@ def test_distillation_pass(tmp_path):
         qpos = E.qpos_from_episode(f)
         np.testing.assert_allclose(f["vla_action"][3][0],
                                    qpos[3].astype(np.float32), rtol=1e-5)
+
+
+def test_batch_tools(tmp_path):
+    """batch_rename_files / batch_create_instructions match the reference
+    tools' range-inclusive episode_<num> selection."""
+    from vla_touch_tpu.data.capture import (
+        batch_create_instructions,
+        batch_rename_files,
+    )
+
+    for i in range(4):
+        d = tmp_path / f"episode_{i}" / "camera1"
+        d.mkdir(parents=True)
+        (d / "old.jpg").write_bytes(b"x")
+    (tmp_path / "notes").mkdir()          # non-episode dir is skipped
+
+    out = batch_rename_files(str(tmp_path), (1, 2), "old.jpg", "new.jpg",
+                             subfolder="camera1")
+    assert out == {"renamed": 2, "not_found": 0}
+    assert (tmp_path / "episode_1" / "camera1" / "new.jpg").exists()
+    assert (tmp_path / "episode_0" / "camera1" / "old.jpg").exists()
+    # already-renamed episodes report not_found on a second pass
+    out2 = batch_rename_files(str(tmp_path), (0, 3), "old.jpg", "new.jpg",
+                              subfolder="camera1")
+    assert out2 == {"renamed": 2, "not_found": 2}
+
+    n = batch_create_instructions(str(tmp_path), (2, 3), "wipe the plate")
+    assert n == 2
+    assert (tmp_path / "episode_3" / "instruction.txt").read_text() \
+        == "wipe the plate\n"
+    assert not (tmp_path / "episode_0" / "instruction.txt").exists()

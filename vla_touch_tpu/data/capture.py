@@ -131,3 +131,54 @@ def add_npy_to_h5(h5_path: str, key: str, array: np.ndarray,
         if key in node:
             del node[key]
         node.create_dataset(key, data=array)
+
+
+def _episodes_in_range(capture_root: str, episode_range: tuple) -> list:
+    """Episode dirs named ``*_<num>`` with num in the inclusive range —
+    the batch tools' matching rule (``batch_change_name.py:35-44``)."""
+    start, end = episode_range
+    out = []
+    for name in sorted(os.listdir(capture_root)):
+        path = os.path.join(capture_root, name)
+        if not os.path.isdir(path):
+            continue
+        parts = name.split("_")
+        if len(parts) < 2 or not parts[1].isdigit():
+            continue
+        if start <= int(parts[1]) <= end:
+            out.append(path)
+    return out
+
+
+def batch_rename_files(capture_root: str, episode_range: tuple,
+                       old_filename: str, new_filename: str,
+                       subfolder: Optional[str] = None) -> dict:
+    """Rename one file across a range of episodes
+    (≙ ``batch_change_name.py::batch_rename_files``).  Returns
+    ``{"renamed": n, "not_found": m}``."""
+    import shutil
+
+    renamed, not_found = 0, 0
+    for episode_path in _episodes_in_range(capture_root, episode_range):
+        file_dir = (os.path.join(episode_path, subfolder) if subfolder
+                    else episode_path)
+        old_path = os.path.join(file_dir, old_filename)
+        if not os.path.exists(old_path):
+            not_found += 1
+            continue
+        shutil.move(old_path, os.path.join(file_dir, new_filename))
+        renamed += 1
+    return {"renamed": renamed, "not_found": not_found}
+
+
+def batch_create_instructions(capture_root: str, episode_range: tuple,
+                              instruction: str) -> int:
+    """Write the same ``instruction.txt`` to a range of episodes without
+    reviewing them (≙ ``batch_instruction.py::batch_create_instructions``).
+    Returns the number of episodes written."""
+    n = 0
+    for episode_path in _episodes_in_range(capture_root, episode_range):
+        with open(os.path.join(episode_path, "instruction.txt"), "w") as f:
+            f.write(instruction.strip() + "\n")
+        n += 1
+    return n
