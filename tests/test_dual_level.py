@@ -63,3 +63,41 @@ def test_planner_with_tactile_service_feedback(tmp_path, rng):
     mags = [float(re.search(r"magnitude=(\d+\.\d+)", f).group(1))
             for f in feedbacks]
     assert mags[1] > mags[0]
+
+
+def test_service_guess_ask_reset(tmp_path, rng):
+    """guess/ask endpoints (demo.py:181-231): the guess prompt carries the
+    lettered candidates and the description; Answer-letter parsing and
+    history reset work."""
+    enc = PE.init_tactile_encoder(TINY_CLIP, jax.random.PRNGKey(0))
+    prompts = []
+
+    def llm_fn(prompt):
+        prompts.append(prompt)
+        if "Determine which option" in prompt:
+            return "B is distinguishable. Answer: B) brick is the most " \
+                   "likely option because it is hard."
+        return "a generic reply"
+
+    hist = str(tmp_path / "hist.jsonl")
+    service = TactileDescriptionService(enc, llm_fn=llm_fn,
+                                        history_path=hist, frame_size=32)
+    video = (rng.random((4, 32, 32, 3)) * 255).astype(np.uint8)
+    out = service.guess(video, ["sponge", "brick"])
+    assert out["option"] == "B"
+    assert "A) sponge, B) brick" in prompts[-1]
+    assert "Answer: <letter>" in prompts[-1]
+
+    ans = service.ask("why?")
+    assert ans["answer"] == "a generic reply"
+    kinds = [json.loads(l)["kind"] for l in open(hist)]
+    assert kinds == ["describe", "guess", "ask"]
+    service.reset_history()
+    assert open(hist).read() == ""
+
+    # an invalid letter parses to None rather than a wrong option
+    def bad_llm(prompt):
+        return "no idea"
+
+    service2 = TactileDescriptionService(enc, llm_fn=bad_llm, frame_size=32)
+    assert service2.guess(video, ["sponge", "brick"])["option"] is None

@@ -92,6 +92,50 @@ class TactileDescriptionService:
         self._record("rank", out)
         return out
 
+    def guess(self, frames: np.ndarray, candidates: list) -> dict:
+        """Which lettered candidate is the touched object?
+        (``demo.py:181-206`` ``guess_touch_given_objects``: describe the
+        touch, then ask for a distinguishing case per option ending in
+        ``'Answer: <letter>'``.)  Requires ``llm_fn``."""
+        from vla_touch_tpu.planning.run_llm import parse_answer_option
+
+        if self.llm_fn is None:
+            raise RuntimeError("guess requires an llm_fn")
+        desc = self.describe(frames)
+        letters = [chr(ord("A") + i) for i in range(len(candidates))]
+        options = ", ".join(f"{l}) {c}" for l, c in zip(letters, candidates))
+        prompt = (
+            f"The touched object feels: {desc['description']}\n"
+            f"Determine which option the above object is likely to be: "
+            f"{options}?\nFollow the steps below: 1. Select the surface "
+            "texture descriptions that help to distinguish between the "
+            "given options. 2. Give a succinct case for each option using "
+            "the selected descriptions. 3. Select the best option and "
+            "format your answer in the format 'Answer: <letter>) <name> "
+            "is the most likely option because <reason(s)>'.")
+        generation = self.llm_fn(prompt)
+        option = parse_answer_option(generation)
+        out = {"candidates": list(candidates),
+               "option": option if option in letters else None,
+               "generation": generation, **{"description":
+                                            desc["description"]}}
+        self._record("guess", out)
+        return out
+
+    def ask(self, query: str) -> dict:
+        """Free-form follow-up through the LLM (``demo.py:209-224``)."""
+        if self.llm_fn is None:
+            raise RuntimeError("ask requires an llm_fn")
+        answer = self.llm_fn(query)
+        out = {"query": query, "answer": answer}
+        self._record("ask", out)
+        return out
+
+    def reset_history(self) -> None:
+        """Truncate the chat-history log (``demo.py:227-231``)."""
+        if self.history_path and os.path.exists(self.history_path):
+            open(self.history_path, "w").close()
+
 
 def build_app(service: TactileDescriptionService):
     """FastAPI app over the service (gated: demo.py equivalent)."""
@@ -113,5 +157,19 @@ def build_app(service: TactileDescriptionService):
     def rank_endpoint(payload: dict):
         videos = [np.asarray(v, np.uint8) for v in payload["videos"]]
         return service.rank(videos, payload.get("property", "hardness"))
+
+    @app.post("/guess")
+    def guess_endpoint(payload: dict):
+        frames = np.asarray(payload["frames"], np.uint8)
+        return service.guess(frames, payload["candidates"])
+
+    @app.post("/ask")
+    def ask_endpoint(payload: dict):
+        return service.ask(payload["query"])
+
+    @app.post("/reset")
+    def reset_endpoint():
+        service.reset_history()
+        return {"ok": True}
 
     return app
