@@ -28,7 +28,7 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 
 
-def main(workdir: str = "/tmp/vla_touch_planning_demo"):
+def main(workdir: str = "/tmp/vla_touch_planning_demo", epochs: int = 100):
     import cv2
     import jax.numpy as jnp
 
@@ -96,7 +96,7 @@ def main(workdir: str = "/tmp/vla_touch_planning_demo"):
     train_ds = TactileLLMDataset([qa_path], split_name="train")
     out_dir = os.path.join(workdir, "llm_out")
     proj_params, lora = train_projection_and_lora(
-        enc_state, cfg, params, train_ds, out_dir, epochs=100, lr=3e-3,
+        enc_state, cfg, params, train_ds, out_dir, epochs=epochs, lr=3e-3,
         lora_rank=8, frame_size=32)
     losses = [json.loads(l)["loss"]
               for l in open(os.path.join(out_dir, "llm_training.jsonl"))]
