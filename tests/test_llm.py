@@ -406,3 +406,17 @@ def test_sequence_avg_surprisal_masks_past_eos():
     lengths = jnp.asarray([2, 4])
     avg = np.asarray(L.sequence_avg_surprisal(surps, lengths))
     np.testing.assert_allclose(avg, [1.5, 2.0])
+
+
+def test_swiglu_megakernel_eligibility():
+    """The decode MLP routes to the single-launch megakernel exactly when
+    both leaves are fused w4 and no MLP LoRA residual is attached."""
+    w4 = {"w4_pack": 0, "scale4": 0}
+    i8 = {"w_i8": 0, "scale": 0}
+    ok = L._swiglu_megakernel_ok
+    assert ok({"gateup": w4, "down": w4}, {})
+    assert not ok({"gateup": i8, "down": i8}, {})        # int8 path is XLA
+    assert not ok({"gateup": w4, "down": i8}, {})
+    assert not ok({"gate": w4, "up": w4, "down": w4}, {})  # unfused tree
+    assert not ok({"gateup": w4, "down": w4}, {"down": {"A": 0, "B": 0}})
+    assert ok({"gateup": w4, "down": w4}, {"q": {"A": 0, "B": 0}})

@@ -490,3 +490,64 @@ def test_kv_proj_int8_option(rng):
                                    lang_mask, img, state, amask, freqs)
     corr = np.corrcoef(np.asarray(a).ravel(), np.asarray(b).ravel())[0, 1]
     assert corr > 0.995, corr
+
+def test_w4_swiglu_megakernel_matches_unfused(rng):
+    """Interpret-mode single-launch SwiGLU MLP == the unfused qdense_w4
+    chain (same x-quant and act-quant semantics), over both the unrolled
+    (G<=32) and rolled (G>32, group_size=32) down projections."""
+    from vla_touch_tpu.ops.pallas_matmul import (
+        _w4_swiglu_ref, w4_swiglu_mlp)
+    from vla_touch_tpu.ops.quant import quantize_linear_w4
+
+    for K, F, N, gs_down, M in [(256, 512, 256, 128, 1),
+                                (256, 2176, 256, 32, 3)]:
+        wg = rng.normal(size=(K, F)).astype(np.float32) * 0.05
+        wu = rng.normal(size=(K, F)).astype(np.float32) * 0.05
+        wd = rng.normal(size=(F, N)).astype(np.float32) * 0.05
+        bgu = rng.normal(size=(2 * F,)).astype(np.float32) * 0.01
+        gu = quantize_linear_w4(
+            {"kernel": np.concatenate([wg, wu], 1), "bias": bgu})
+        down = quantize_linear_w4({"kernel": wd}, group_size=gs_down)
+        x = jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)
+        want = np.asarray(_w4_swiglu_ref(x, gu, down, jnp.float32))
+        got = np.asarray(w4_swiglu_mlp(x, gu, down, out_dtype=jnp.float32,
+                                       interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_w4_swiglu_dispatcher_and_grad(rng):
+    """Large-M calls compose the per-matmul dispatchers; grad through the
+    megakernel path equals the XLA composition's grad (custom_vjp)."""
+    from vla_touch_tpu.ops.pallas_matmul import (
+        _w4_swiglu_ref, qdense_pallas_swiglu)
+    from vla_touch_tpu.ops.quant import quantize_linear_w4
+
+    K, F, N = 256, 512, 256
+    gu = quantize_linear_w4(
+        {"kernel": rng.normal(size=(K, 2 * F)).astype(np.float32) * 0.05})
+    down = quantize_linear_w4(
+        {"kernel": rng.normal(size=(F, N)).astype(np.float32) * 0.05})
+
+    # large-M path (prompt regime): still numerically the unfused chain
+    xm = jnp.asarray(rng.normal(size=(40, K)), jnp.bfloat16)
+    got = np.asarray(qdense_pallas_swiglu(xm, gu, down,
+                                          out_dtype=jnp.float32,
+                                          interpret=True))
+    want = np.asarray(_w4_swiglu_ref(xm, gu, down, jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    # gradient contract (decode-regime M)
+    x = jnp.asarray(rng.normal(size=(2, K)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(2, N)), jnp.float32)
+
+    def f_pal(xx):
+        return jnp.sum(qdense_pallas_swiglu(xx, gu, down,
+                                            out_dtype=jnp.float32,
+                                            interpret=True) * c)
+
+    def f_xla(xx):
+        return jnp.sum(_w4_swiglu_ref(xx, gu, down, jnp.float32) * c)
+
+    g_pal = np.asarray(jax.grad(f_pal)(x))
+    g_xla = np.asarray(jax.grad(f_xla)(x))
+    np.testing.assert_allclose(g_pal, g_xla, rtol=1e-6, atol=1e-7)

@@ -460,6 +460,280 @@ def _w4a8_diff_bwd(out_dtype, interpret, res, g):
 _w4a8_matmul_diff.defvjp(_w4a8_diff_fwd, _w4a8_diff_bwd)
 
 
+# ---- w4 SwiGLU-MLP megakernel: gateup + silu*mul + down in ONE launch -------
+#
+# The B=1 w4 decode is bounded by pallas_call launch overhead once the
+# qkv/gateup concat fusion lands (ROUND_NOTES: ~0.5 byte/param streaming is
+# already realized per-matmul; the residue is per-launch fixed cost).  This
+# kernel runs the whole SwiGLU MLP — the two biggest weight streams of every
+# decoder layer — as one launch: phase 1 streams the fused gate|up planes
+# tile by tile, materializing silu(g)*u into a VMEM scratch; a barrier step
+# quantizes the activation per token (identical semantics to the unfused
+# qdense_w4 input quant); phase 2 streams the down planes consuming the int8
+# scratch.  Besides the saved launch, the intermediate activation never
+# round-trips HBM.
+
+
+def _w4_group_dot_unrolled(xi_ref, wp_ref, s_ref, G, gs, Mp, bn):
+    """Grouped int4 dot of xi_ref (Mp, G*gs) with an unpacked-on-the-fly
+    packed block ref ((G*gs)//2, bn); unrolled over groups (G <= 32)."""
+    half = G // 2
+    acc = jnp.zeros((Mp, bn), jnp.float32)
+    for g in range(G):
+        row = (g if g < half else g - half) * gs
+        w32 = wp_ref[pl.ds(row, gs), :].astype(jnp.int32)
+        if g < half:
+            w_g = jnp.right_shift(jnp.left_shift(w32, 28), 28)
+        else:
+            w_g = jnp.right_shift(w32, 4)
+        part = jnp.dot(xi_ref[:, pl.ds(g * gs, gs)],
+                       w_g.astype(jnp.int8),
+                       preferred_element_type=jnp.int32)
+        acc = acc + part.astype(jnp.float32) * s_ref[g, :][None, :]
+    return acc
+
+
+def _w4_group_dot_rolled(xi_ref, wp_ref, s_ref, G, gs, Mp, bn):
+    """Rolled (lax.fori_loop) variant for large G (scoped-VMEM limit)."""
+    half = G // 2
+
+    def body(g, acc):
+        row = jax.lax.rem(g, half) * gs
+        w32 = wp_ref[pl.ds(row, gs), :].astype(jnp.int32)
+        low = jnp.right_shift(jnp.left_shift(w32, 28), 28)
+        high = jnp.right_shift(w32, 4)
+        w_g = jnp.where(g < half, low, high)
+        part = jnp.dot(xi_ref[:, pl.ds(g * gs, gs)],
+                       w_g.astype(jnp.int8),
+                       preferred_element_type=jnp.int32)
+        return acc + part.astype(jnp.float32) * s_ref[pl.ds(g, 1), :]
+
+    return jax.lax.fori_loop(0, G, body, jnp.zeros((Mp, bn), jnp.float32))
+
+
+def _w4_swiglu_kernel(x_ref, g_ref, u_ref, gs_ref, us_ref, gb_ref, ub_ref,
+                      dw_ref, ds_ref, db_ref, o_ref,
+                      xi_scr, xrs_scr, act_scr, ai_scr, ars_scr,
+                      *, Gg: int, gsg: int, Gd: int, gsd: int, Tg: int,
+                      bn_g: int):
+    t = pl.program_id(0)
+    Mp = x_ref.shape[0]
+    bn_d = dw_ref.shape[1]
+
+    @pl.when(t == 0)
+    def _quantize_x():
+        xf = x_ref[...].astype(jnp.float32)
+        amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-8)
+        xrs_scr[...] = jnp.broadcast_to(amax * (1.0 / 127.0), xrs_scr.shape)
+        xi_scr[...] = jnp.clip(jnp.round(xf * (127.0 / amax)),
+                               -127, 127).astype(jnp.int8)
+
+    @pl.when(t < Tg)
+    def _gate_up():
+        dot = (_w4_group_dot_unrolled if Gg <= 32 else _w4_group_dot_rolled)
+        g_acc = dot(xi_scr, g_ref, gs_ref, Gg, gsg, Mp, bn_g)
+        u_acc = dot(xi_scr, u_ref, us_ref, Gg, gsg, Mp, bn_g)
+        # match the unfused op/dtype sequence exactly: dequant -> bf16 cast
+        # -> silu(g) * u in bf16 (what llm._mlp computes between the two
+        # qdense_w4 calls)
+        g_b = (g_acc * xrs_scr[:, 0:1] + gb_ref[...]).astype(act_scr.dtype)
+        u_b = (u_acc * xrs_scr[:, 0:1] + ub_ref[...]).astype(act_scr.dtype)
+        col = t * bn_g
+        act_scr[:, pl.ds(col, bn_g)] = jax.nn.silu(g_b) * u_b
+
+    @pl.when(t == Tg)
+    def _quantize_act():
+        af = act_scr[...].astype(jnp.float32)
+        amax = jnp.maximum(jnp.max(jnp.abs(af), axis=1, keepdims=True), 1e-8)
+        ars_scr[...] = jnp.broadcast_to(amax * (1.0 / 127.0), ars_scr.shape)
+        ai_scr[...] = jnp.clip(jnp.round(af * (127.0 / amax)),
+                               -127, 127).astype(jnp.int8)
+
+    @pl.when(t >= Tg)
+    def _down():
+        dot = (_w4_group_dot_unrolled if Gd <= 32 else _w4_group_dot_rolled)
+        acc = dot(ai_scr, dw_ref, ds_ref, Gd, gsd, Mp, bn_d)
+        o_ref[...] = (acc * ars_scr[:, 0:1] + db_ref[...]).astype(o_ref.dtype)
+
+
+def _swiglu_vmem_bytes(Mp, K, F, Gg, Gd, bn_g, bn_d):
+    """Estimated VMEM residency: resident activations/scratches + two
+    double-buffered packed blocks per streamed input."""
+    scratch = Mp * K * 3 + Mp * F * 3 + Mp * 256 * 4
+    gu = 2 * 2 * ((K // 2) * bn_g + Gg * bn_g * 4 + bn_g * 4)
+    dn = 2 * ((F // 2) * bn_d + Gd * bn_d * 4 + bn_d * 4)
+    out = 2 * Mp * bn_d * 2
+    return scratch + gu + dn + out
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def w4_swiglu_mlp(x, gu_qp: dict, down_qp: dict, *,
+                  out_dtype=jnp.bfloat16, interpret: bool = False):
+    """``down(silu(gate(x)) * up(x))`` over grouped-int4 weights in ONE
+    pallas_call.  ``gu_qp`` is the fused gate|up leaf
+    (:func:`vla_touch_tpu.planning.llm.fuse_quantized_layers` layout:
+    columns [0, F) = gate, [F, 2F) = up); ``down_qp`` the (F, K) down
+    projection.  Numerics identical to the unfused qdense_w4 chain
+    (same per-token activation quant on x and on silu(g)*u)."""
+    *lead, K = x.shape
+    N2 = gu_qp["w4_pack"].shape[1]
+    F = N2 // 2
+    N = down_qp["w4_pack"].shape[1]
+    Gg = gu_qp["scale4"].shape[0]
+    Gd = down_qp["scale4"].shape[0]
+    gsg, gsd = K // Gg, F // Gd
+
+    M = 1
+    for d in lead:
+        M *= d
+    x2 = x.reshape(M, K).astype(jnp.bfloat16)
+    Mp = _round_up(max(M, 8), 32)
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+
+    # pick tile widths that divide F / N and fit the VMEM budget
+    bn_g = bn_d = None
+    for cand_g in (512, 256, 128):
+        if F % cand_g:
+            continue
+        for cand_d in (256, 128):
+            if N % cand_d:
+                continue
+            if _swiglu_vmem_bytes(Mp, K, F, Gg, Gd, cand_g, cand_d) \
+                    <= 12 * 1024 * 1024:
+                bn_g, bn_d = cand_g, cand_d
+                break
+        if bn_g is not None:
+            break
+    ok = (bn_g is not None and N2 % 2 == 0 and gsg % 32 == 0
+          and gsd % 32 == 0 and Gg % 2 == 0 and Gd % 2 == 0
+          and down_qp["w4_pack"].shape[0] * 2 == F)
+    if not ok:
+        # unfused fallback: two streaming launches, same numerics
+        act = w4a8_matmul(x, gu_qp["w4_pack"], gu_qp["scale4"],
+                          gu_qp.get("bias"), out_dtype=jnp.bfloat16,
+                          interpret=interpret)
+        g, u = jnp.split(act, 2, axis=-1)
+        return w4a8_matmul(jax.nn.silu(g) * u, down_qp["w4_pack"],
+                           down_qp["scale4"], down_qp.get("bias"),
+                           out_dtype=out_dtype, interpret=interpret)
+
+    Tg = F // bn_g
+    Td = N // bn_d
+    gub = (gu_qp["bias"].reshape(1, N2).astype(jnp.float32)
+           if "bias" in gu_qp else jnp.zeros((1, N2), jnp.float32))
+    db = (down_qp["bias"].reshape(1, N).astype(jnp.float32)
+          if "bias" in down_qp else jnp.zeros((1, N), jnp.float32))
+
+    def gate_idx(t):
+        return (0, jnp.minimum(t, Tg - 1))
+
+    def up_idx(t):
+        return (0, Tg + jnp.minimum(t, Tg - 1))
+
+    def down_idx(t):
+        return (0, jnp.maximum(t - Tg, 0))
+
+    out = pl.pallas_call(
+        functools.partial(_w4_swiglu_kernel, Gg=Gg, gsg=gsg, Gd=Gd,
+                          gsd=gsd, Tg=Tg, bn_g=bn_g),
+        grid=(Tg + Td,),
+        in_specs=[
+            pl.BlockSpec((Mp, K), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K // 2, bn_g), gate_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K // 2, bn_g), up_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gg, bn_g), gate_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gg, bn_g), up_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_g), gate_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_g), up_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F // 2, bn_d), down_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gd, bn_d), down_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_d), down_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, bn_d), down_idx,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Mp, K), jnp.int8),
+            pltpu.VMEM((Mp, 128), jnp.float32),
+            pltpu.VMEM((Mp, F), jnp.bfloat16),
+            pltpu.VMEM((Mp, F), jnp.int8),
+            pltpu.VMEM((Mp, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N2 + 2 * Mp * F * N,
+            bytes_accessed=(Mp * K * 2 + K * N2 // 2 + F * N // 2
+                            + Mp * N * 2),
+            transcendentals=Mp * F,
+        ),
+        interpret=interpret,
+    )(x2, gu_qp["w4_pack"], gu_qp["w4_pack"], gu_qp["scale4"],
+      gu_qp["scale4"], gub, gub, down_qp["w4_pack"], down_qp["scale4"], db)
+
+    return out[:M].reshape(*lead, N)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _w4_swiglu_diff(out_dtype, interpret, x, gu_qp, down_qp):
+    """w4_swiglu_mlp with the same differentiation contract as
+    :func:`_w4a8_matmul_diff`: forward = the megakernel, backward = the vjp
+    of the numerically-identical XLA composition."""
+    return w4_swiglu_mlp(x, gu_qp, down_qp, out_dtype=out_dtype,
+                         interpret=interpret)
+
+
+def _w4_swiglu_ref(x, gu_qp, down_qp, out_dtype):
+    from vla_touch_tpu.ops.quant import qdense_w4
+
+    act = qdense_w4(x, gu_qp, out_dtype=jnp.bfloat16)
+    g, u = jnp.split(act, 2, axis=-1)
+    return qdense_w4(jax.nn.silu(g) * u, down_qp, out_dtype=out_dtype)
+
+
+def _w4_swiglu_fwd(out_dtype, interpret, x, gu_qp, down_qp):
+    y = w4_swiglu_mlp(x, gu_qp, down_qp, out_dtype=out_dtype,
+                      interpret=interpret)
+    return y, (x, gu_qp, down_qp)
+
+
+def _w4_swiglu_bwd(out_dtype, interpret, res, g):
+    import numpy as onp
+
+    x, gu_qp, down_qp = res
+    _, vjp = jax.vjp(lambda xx: _w4_swiglu_ref(xx, gu_qp, down_qp,
+                                               out_dtype), x)
+    (dx,) = vjp(g)
+
+    def frozen(tree):
+        return jax.tree.map(
+            lambda a: (onp.zeros(a.shape, dtype=jax.dtypes.float0)
+                       if jnp.issubdtype(a.dtype, jnp.integer)
+                       else jnp.zeros_like(a)), tree)
+
+    return dx, frozen(gu_qp), frozen(down_qp)
+
+
+_w4_swiglu_diff.defvjp(_w4_swiglu_fwd, _w4_swiglu_bwd)
+
+
+def qdense_pallas_swiglu(x, gu_qp: dict, down_qp: dict,
+                         out_dtype=jnp.bfloat16, interpret=False):
+    """Dispatching entry for the SwiGLU megakernel: small-M w4 decode calls
+    hit the single-launch kernel; everything else composes the per-matmul
+    dispatchers (so large-M prompt/train paths keep their XLA fallbacks)."""
+    M = 1
+    for d in x.shape[:-1]:
+        M *= d
+    w4 = "w4_pack" in gu_qp and "w4_pack" in down_qp
+    if not w4 or M > 32:
+        act = qdense_pallas_w4(x, gu_qp, out_dtype=jnp.bfloat16,
+                               interpret=interpret)
+        g, u = jnp.split(act, 2, axis=-1)
+        return qdense_pallas_w4(jax.nn.silu(g) * u, down_qp,
+                                out_dtype=out_dtype, interpret=interpret)
+    return _w4_swiglu_diff(out_dtype, interpret, x, gu_qp, down_qp)
+
+
 def qdense_pallas_w4(x, qp: dict, out_dtype=jnp.bfloat16, interpret=False):
     """Layout-dispatching Pallas drop-in for
     :func:`vla_touch_tpu.ops.quant.qdense_any`: grouped-int4 leaves hit the

@@ -452,8 +452,24 @@ def _proj_qkv(cfg: LLMConfig, lp, lo, lscale, h, B, L):
             v.reshape(B, L, Hkv, hd))
 
 
+def _swiglu_megakernel_ok(lp, lo) -> bool:
+    """The single-launch SwiGLU megakernel applies when both MLP leaves are
+    grouped-int4 in the fused ``gateup`` layout and no LoRA residual needs
+    the separate g/u/act intermediates (serving merges LoRA first)."""
+    return ("gateup" in lp and "w4_pack" in lp["gateup"]
+            and "w4_pack" in lp.get("down", {})
+            and not any(lo.get(k) for k in ("gate", "up", "down")))
+
+
 def _mlp(lp, lo, lscale, h):
     """SwiGLU MLP, via the fused ``gateup`` leaf when present."""
+    if _swiglu_megakernel_ok(lp, lo) and jax.default_backend() == "tpu":
+        # gateup + silu*mul + down as ONE pallas launch (w4 decode serving;
+        # numerics identical to the unfused chain — tests/test_quant.py)
+        from vla_touch_tpu.ops.pallas_matmul import qdense_pallas_swiglu
+
+        return qdense_pallas_swiglu(h, lp["gateup"], lp["down"],
+                                    out_dtype=h.dtype)
     if "gateup" in lp:
         g, u = jnp.split(_dense(h, lp["gateup"]), 2, axis=-1)
         g = _lora_res(g, lo.get("gate"), h, lscale)
