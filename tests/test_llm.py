@@ -420,3 +420,14 @@ def test_swiglu_megakernel_eligibility():
     assert not ok({"gate": w4, "up": w4, "down": w4}, {})  # unfused tree
     assert not ok({"gateup": w4, "down": w4}, {"down": {"A": 0, "B": 0}})
     assert ok({"gateup": w4, "down": w4}, {"q": {"A": 0, "B": 0}})
+
+
+def test_postattn_megakernel_eligibility():
+    w4 = {"w4_pack": 0, "scale4": 0}
+    ok = L._postattn_megakernel_ok
+    full = {"o": w4, "gateup": w4, "down": w4}
+    assert ok(full, {})
+    assert not ok({**full, "o": {"w_i8": 0, "scale": 0}}, {})
+    assert not ok(full, {"o": {"A": 0, "B": 0}})
+    assert not ok(full, {"gate": {"A": 0, "B": 0}})
+    assert ok(full, {"q": {"A": 0, "B": 0}})    # attention LoRA is fine

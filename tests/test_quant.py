@@ -551,3 +551,50 @@ def test_w4_swiglu_dispatcher_and_grad(rng):
     g_pal = np.asarray(jax.grad(f_pal)(x))
     g_xla = np.asarray(jax.grad(f_xla)(x))
     np.testing.assert_allclose(g_pal, g_xla, rtol=1e-6, atol=1e-7)
+
+
+def test_w4_postattn_megakernel_matches_unfused(rng):
+    """Interpret-mode post-attention megakernel (o + residual + rmsnorm +
+    SwiGLU MLP + residual in one launch) == the unfused op sequence."""
+    from vla_touch_tpu.ops.pallas_matmul import w4_postattn_fused
+    from vla_touch_tpu.ops.quant import qdense_w4, quantize_linear_w4
+
+    def ref(x, att, o_qp, gu_qp, down_qp, nw, eps):
+        x2 = x + qdense_w4(att, o_qp, out_dtype=x.dtype)
+        xf = x2.astype(jnp.float32)
+        h = (xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), -1, keepdims=True)
+                                + eps) * nw).astype(x2.dtype)
+        act = qdense_w4(h, gu_qp, out_dtype=jnp.bfloat16)
+        g, u = jnp.split(act, 2, axis=-1)
+        return x2 + qdense_w4(jax.nn.silu(g) * u, down_qp,
+                              out_dtype=x2.dtype)
+
+    Ka, D, F, M = 384, 256, 512, 2
+    wo = rng.normal(size=(Ka, D)).astype(np.float32) * 0.05
+    wg = rng.normal(size=(D, F)).astype(np.float32) * 0.05
+    wu = rng.normal(size=(D, F)).astype(np.float32) * 0.05
+    wd = rng.normal(size=(F, D)).astype(np.float32) * 0.05
+    o_qp = quantize_linear_w4({"kernel": wo})
+    gu_qp = quantize_linear_w4({"kernel": np.concatenate([wg, wu], 1)})
+    down_qp = quantize_linear_w4({"kernel": wd})
+    nw = jnp.asarray(rng.normal(size=(D,)).astype(np.float32) * 0.2 + 1.0)
+    x = jnp.asarray(rng.normal(size=(M, 1, D)), jnp.bfloat16)
+    att = jnp.asarray(rng.normal(size=(M, 1, Ka)), jnp.bfloat16)
+
+    want = np.asarray(ref(x, att, o_qp, gu_qp, down_qp, nw, 1e-6),
+                      np.float32)
+    got = np.asarray(w4_postattn_fused(x, att, o_qp, gu_qp, down_qp, nw,
+                                       eps=1e-6, interpret=True), np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
+
+    # oversize M degrades to the composed fallback: same op sequence, but
+    # under jit XLA re-fuses the bf16 rmsnorm chain (verified: identical
+    # under jax.disable_jit()), so the bound is one bf16 ulp of the O(4)
+    # outputs rather than exact
+    xm = jnp.asarray(rng.normal(size=(40, D)), jnp.bfloat16)
+    am = jnp.asarray(rng.normal(size=(40, Ka)), jnp.bfloat16)
+    got2 = np.asarray(w4_postattn_fused(xm, am, o_qp, gu_qp, down_qp, nw,
+                                        eps=1e-6, interpret=True), np.float32)
+    want2 = np.asarray(ref(xm, am, o_qp, gu_qp, down_qp, nw, 1e-6),
+                       np.float32)
+    np.testing.assert_allclose(got2, want2, rtol=3e-2, atol=5e-2)

@@ -673,6 +673,227 @@ def w4_swiglu_mlp(x, gu_qp: dict, down_qp: dict, *,
     return out[:M].reshape(*lead, N)
 
 
+# ---- w4 post-attention megakernel: o + residual + norm + SwiGLU MLP --------
+#
+# Everything a decoder layer does AFTER attention, as one launch:
+#     x2 = x + o(att);  h = rmsnorm(x2) * w;  y = x2 + down(silu(g(h))*u(h))
+# With the qkv concat fusion this takes a w4 decode layer to TWO pallas
+# launches (qkv, post-attention) — attention itself stays in XLA where the
+# fused small-shape einsums are already optimal.  Decode-serving only
+# (resident-activation design); prompt/training paths keep the unfused ops.
+
+
+def _w4_postattn_kernel(x_ref, att_ref, ow_ref, os_ref, ob_ref, nw_ref,
+                        g_ref, u_ref, gs_ref, us_ref, gb_ref, ub_ref,
+                        dw_ref, ds_ref, db_ref, o_ref,
+                        ati_scr, ars_scr, x2_scr, hi_scr, hrs_scr,
+                        act_scr, ai_scr, qrs_scr,
+                        *, Go: int, gso: int, Gg: int, gsg: int, Gd: int,
+                        gsd: int, To: int, Tg: int, bn_o: int, bn_g: int,
+                        eps: float):
+    t = pl.program_id(0)
+    Mp = x_ref.shape[0]
+    bn_d = dw_ref.shape[1]
+
+    @pl.when(t == 0)
+    def _quantize_att():
+        af = att_ref[...].astype(jnp.float32)
+        amax = jnp.maximum(jnp.max(jnp.abs(af), axis=1, keepdims=True), 1e-8)
+        ars_scr[...] = jnp.broadcast_to(amax * (1.0 / 127.0), ars_scr.shape)
+        ati_scr[...] = jnp.clip(jnp.round(af * (127.0 / amax)),
+                                -127, 127).astype(jnp.int8)
+
+    @pl.when(t < To)
+    def _o_proj():
+        dot = (_w4_group_dot_unrolled if Go <= 32 else _w4_group_dot_rolled)
+        acc = dot(ati_scr, ow_ref, os_ref, Go, gso, Mp, bn_o)
+        col = t * bn_o
+        o_out = (acc * ars_scr[:, 0:1] + ob_ref[...]).astype(x2_scr.dtype)
+        x2_scr[:, pl.ds(col, bn_o)] = x_ref[:, pl.ds(col, bn_o)] + o_out
+
+    @pl.when(t == To)
+    def _norm_and_quantize_h():
+        # the exact _rmsnorm sequence: f32 mean-of-squares, rsqrt, * w,
+        # cast back — then the per-token int8 quant the gate/up dot needs
+        x2 = x2_scr[...].astype(jnp.float32)
+        y = x2 * jax.lax.rsqrt(jnp.mean(jnp.square(x2), axis=1,
+                                        keepdims=True) + eps)
+        h = (y * nw_ref[...]).astype(x2_scr.dtype).astype(jnp.float32)
+        amax = jnp.maximum(jnp.max(jnp.abs(h), axis=1, keepdims=True), 1e-8)
+        hrs_scr[...] = jnp.broadcast_to(amax * (1.0 / 127.0), hrs_scr.shape)
+        hi_scr[...] = jnp.clip(jnp.round(h * (127.0 / amax)),
+                               -127, 127).astype(jnp.int8)
+
+    @pl.when(jnp.logical_and(t >= To, t < To + Tg))
+    def _gate_up():
+        dot = (_w4_group_dot_unrolled if Gg <= 32 else _w4_group_dot_rolled)
+        g_acc = dot(hi_scr, g_ref, gs_ref, Gg, gsg, Mp, bn_g)
+        u_acc = dot(hi_scr, u_ref, us_ref, Gg, gsg, Mp, bn_g)
+        g_b = (g_acc * hrs_scr[:, 0:1] + gb_ref[...]).astype(act_scr.dtype)
+        u_b = (u_acc * hrs_scr[:, 0:1] + ub_ref[...]).astype(act_scr.dtype)
+        col = (t - To) * bn_g
+        act_scr[:, pl.ds(col, bn_g)] = jax.nn.silu(g_b) * u_b
+
+    @pl.when(t == To + Tg)
+    def _quantize_act():
+        af = act_scr[...].astype(jnp.float32)
+        amax = jnp.maximum(jnp.max(jnp.abs(af), axis=1, keepdims=True), 1e-8)
+        qrs_scr[...] = jnp.broadcast_to(amax * (1.0 / 127.0), qrs_scr.shape)
+        ai_scr[...] = jnp.clip(jnp.round(af * (127.0 / amax)),
+                               -127, 127).astype(jnp.int8)
+
+    @pl.when(t >= To + Tg)
+    def _down():
+        dot = (_w4_group_dot_unrolled if Gd <= 32 else _w4_group_dot_rolled)
+        acc = dot(ai_scr, dw_ref, ds_ref, Gd, gsd, Mp, bn_d)
+        col = (t - To - Tg) * bn_d
+        mlp = (acc * qrs_scr[:, 0:1] + db_ref[...]).astype(o_ref.dtype)
+        o_ref[...] = x2_scr[:, pl.ds(col, bn_d)].astype(o_ref.dtype) + mlp
+
+
+def _postattn_vmem_bytes(Mp, Ka, D, F, Go, Gg, Gd, bn_o, bn_g, bn_d):
+    scratch = (Mp * Ka * 3 + Mp * D * 2 * 2 + Mp * D + Mp * F * 3
+               + Mp * 128 * 4 * 3)
+    ow = 2 * ((Ka // 2) * bn_o + Go * bn_o * 4 + bn_o * 4)
+    gu = 2 * 2 * ((D // 2) * bn_g + Gg * bn_g * 4 + bn_g * 4)
+    dn = 2 * ((F // 2) * bn_d + Gd * bn_d * 4 + bn_d * 4)
+    return scratch + ow + gu + dn + 2 * Mp * bn_d * 2 + D * 4
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "out_dtype",
+                                             "interpret"))
+def w4_postattn_fused(x, att, o_qp: dict, gu_qp: dict, down_qp: dict,
+                      norm_w, *, eps: float = 1e-6,
+                      out_dtype=jnp.bfloat16, interpret: bool = False):
+    """``x + o(att)`` then ``rmsnorm`` then the SwiGLU MLP with its
+    residual, all in ONE pallas_call over grouped-int4 weights — the whole
+    post-attention half of a decoder layer (see module comment).  Falls
+    back to the composed per-op dispatchers when the shapes don't fit."""
+    *lead, Ka = att.shape
+    D = x.shape[-1]
+    N2 = gu_qp["w4_pack"].shape[1]
+    F = N2 // 2
+    Go = o_qp["scale4"].shape[0]
+    Gg = gu_qp["scale4"].shape[0]
+    Gd = down_qp["scale4"].shape[0]
+    gso, gsg, gsd = Ka // Go, D // Gg, F // Gd
+
+    M = 1
+    for d in lead:
+        M *= d
+    Mp = _round_up(max(M, 8), 32)
+
+    bn_o = bn_g = bn_d = None
+    for co in (512, 256, 128):
+        if D % co:
+            continue
+        for cg in (512, 256, 128):
+            if F % cg:
+                continue
+            for cd in (256, 128):
+                if D % cd:
+                    continue
+                if _postattn_vmem_bytes(Mp, Ka, D, F, Go, Gg, Gd, co, cg,
+                                        cd) <= 12 * 1024 * 1024:
+                    bn_o, bn_g, bn_d = co, cg, cd
+                    break
+            if bn_o is not None:
+                break
+        if bn_o is not None:
+            break
+    ok = (bn_o is not None and M <= 32 and N2 % 2 == 0
+          and o_qp["w4_pack"].shape[1] == D
+          and down_qp["w4_pack"].shape[1] == D
+          and all(g % 2 == 0 for g in (Go, Gg, Gd))
+          and all(s % 32 == 0 for s in (gso, gsg, gsd)))
+    if not ok:
+        # composed fallback — numerically the same op sequence
+        x2 = x + w4a8_matmul(att, o_qp["w4_pack"], o_qp["scale4"],
+                             o_qp.get("bias"), out_dtype=x.dtype,
+                             interpret=interpret)
+        xf = x2.astype(jnp.float32)
+        h = (xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), -1, keepdims=True)
+                                + eps) * norm_w).astype(x2.dtype)
+        return (x2 + w4_swiglu_mlp(h, gu_qp, down_qp, out_dtype=x2.dtype,
+                                   interpret=interpret)).astype(out_dtype)
+
+    x2 = x.reshape(M, D).astype(jnp.bfloat16)
+    a2 = att.reshape(M, Ka).astype(jnp.bfloat16)
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+        a2 = jnp.pad(a2, ((0, Mp - M), (0, 0)))
+
+    To, Tg, Td = D // bn_o, F // bn_g, D // bn_d
+    ob = (o_qp["bias"].reshape(1, D).astype(jnp.float32)
+          if "bias" in o_qp else jnp.zeros((1, D), jnp.float32))
+    gub = (gu_qp["bias"].reshape(1, N2).astype(jnp.float32)
+           if "bias" in gu_qp else jnp.zeros((1, N2), jnp.float32))
+    db = (down_qp["bias"].reshape(1, D).astype(jnp.float32)
+          if "bias" in down_qp else jnp.zeros((1, D), jnp.float32))
+    nw = jnp.asarray(norm_w, jnp.float32).reshape(1, D)
+
+    def o_idx(t):
+        return (0, jnp.minimum(t, To - 1))
+
+    def gate_idx(t):
+        return (0, jnp.clip(t - To, 0, Tg - 1))
+
+    def up_idx(t):
+        return (0, Tg + jnp.clip(t - To, 0, Tg - 1))
+
+    def down_idx(t):
+        return (0, jnp.maximum(t - To - Tg, 0))
+
+    out = pl.pallas_call(
+        functools.partial(_w4_postattn_kernel, Go=Go, gso=gso, Gg=Gg,
+                          gsg=gsg, Gd=Gd, gsd=gsd, To=To, Tg=Tg,
+                          bn_o=bn_o, bn_g=bn_g, eps=float(eps)),
+        grid=(To + Tg + Td,),
+        in_specs=[
+            pl.BlockSpec((Mp, D), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Mp, Ka), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ka // 2, bn_o), o_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Go, bn_o), o_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_o), o_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D // 2, bn_g), gate_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D // 2, bn_g), up_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gg, bn_g), gate_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gg, bn_g), up_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_g), gate_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_g), up_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F // 2, bn_d), down_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gd, bn_d), down_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn_d), down_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, bn_d), down_idx,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, D), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Mp, Ka), jnp.int8),
+            pltpu.VMEM((Mp, 128), jnp.float32),
+            pltpu.VMEM((Mp, D), jnp.bfloat16),
+            pltpu.VMEM((Mp, D), jnp.int8),
+            pltpu.VMEM((Mp, 128), jnp.float32),
+            pltpu.VMEM((Mp, F), jnp.bfloat16),
+            pltpu.VMEM((Mp, F), jnp.int8),
+            pltpu.VMEM((Mp, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * (Ka * D + D * N2 + F * D),
+            bytes_accessed=(Mp * (Ka + D) * 2 + Ka * D // 2 + D * N2 // 2
+                            + F * D // 2 + Mp * D * 2),
+            transcendentals=Mp * (F + 1),
+        ),
+        interpret=interpret,
+    )(x2, a2, o_qp["w4_pack"], o_qp["scale4"], ob, nw,
+      gu_qp["w4_pack"], gu_qp["w4_pack"], gu_qp["scale4"], gu_qp["scale4"],
+      gub, gub, down_qp["w4_pack"], down_qp["scale4"], db)
+
+    return out[:M].reshape(*x.shape[:-1], D)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _w4_swiglu_diff(out_dtype, interpret, x, gu_qp, down_qp):
     """w4_swiglu_mlp with the same differentiation contract as

@@ -461,6 +461,14 @@ def _swiglu_megakernel_ok(lp, lo) -> bool:
             and not any(lo.get(k) for k in ("gate", "up", "down")))
 
 
+def _postattn_megakernel_ok(lp, lo) -> bool:
+    """The post-attention megakernel (o + residual + norm + SwiGLU MLP +
+    residual in one launch — a w4 decode layer becomes TWO pallas launches)
+    additionally needs the o projection in w4 and LoRA-free."""
+    return ("w4_pack" in lp.get("o", {}) and not lo.get("o")
+            and _swiglu_megakernel_ok(lp, lo))
+
+
 def _mlp(lp, lo, lscale, h):
     """SwiGLU MLP, via the fused ``gateup`` leaf when present."""
     if _swiglu_megakernel_ok(lp, lo) and jax.default_backend() == "tpu":
@@ -665,9 +673,19 @@ def _generate_impl(cfg: LLMConfig, params: dict, prompt_embeds,
                 lambda c, upd, i: jax.lax.dynamic_update_slice(
                     c, upd, (i, 0, 0)))(vc, v, kv_len)
             att = _attend(q, kc, vc, valid)
-            x2 = x + _dense(att, lp["o"], lo.get("o"), lscale)
-            h2 = _rmsnorm(x2, lp["post_norm"], cfg.rms_eps)
-            x = x2 + _mlp(lp, lo, lscale, h2)
+            if (_postattn_megakernel_ok(lp, lo)
+                    and jax.default_backend() == "tpu"):
+                # the whole post-attention half of the layer as ONE pallas
+                # launch (ops/pallas_matmul.py::w4_postattn_fused)
+                from vla_touch_tpu.ops.pallas_matmul import w4_postattn_fused
+
+                x = w4_postattn_fused(x, att, lp["o"], lp["gateup"],
+                                      lp["down"], lp["post_norm"],
+                                      eps=cfg.rms_eps, out_dtype=x.dtype)
+            else:
+                x2 = x + _dense(att, lp["o"], lo.get("o"), lscale)
+                h2 = _rmsnorm(x2, lp["post_norm"], cfg.rms_eps)
+                x = x2 + _mlp(lp, lo, lscale, h2)
             new_cache.append((kc, vc))
         x = _rmsnorm(x, params["final_norm"], cfg.rms_eps)
         logits = lm_logits(cfg, params, x[:, 0])
