@@ -30,13 +30,11 @@ import numpy as np  # noqa: E402
 
 def main(workdir: str = "/tmp/vla_touch_planning_demo", epochs: int = 100):
     import cv2
-    import jax.numpy as jnp
 
     from vla_touch_tpu.models.encoders.vit import ViTConfig
     from vla_touch_tpu.planning import encoder as PE
     from vla_touch_tpu.planning import llm as L
     from vla_touch_tpu.planning.datasets import TactileLLMDataset
-    from vla_touch_tpu.planning.llm_splice import TactileProjector
     from vla_touch_tpu.planning.run_llm import (
         make_llm_interface, reason_llm, render_chat, test_llm,
         train_projection_and_lora)

@@ -598,3 +598,39 @@ def test_w4_postattn_megakernel_matches_unfused(rng):
     want2 = np.asarray(ref(xm, am, o_qp, gu_qp, down_qp, nw, 1e-6),
                        np.float32)
     np.testing.assert_allclose(got2, want2, rtol=3e-2, atol=5e-2)
+
+
+def test_w4_megakernel_fallbacks_handle_unfriendly_dims(rng):
+    """Kernel-unfriendly dims (N not a multiple of 128) must degrade to the
+    XLA path through the dispatching entries, not trip the raw kernel's
+    layout asserts (review finding, reproduced pre-fix)."""
+    from vla_touch_tpu.ops.pallas_matmul import (
+        _w4_swiglu_ref, w4_postattn_fused, w4_swiglu_mlp)
+    from vla_touch_tpu.ops.quant import qdense_w4, quantize_linear_w4
+
+    Ka, D, F = 128, 64, 64
+    o_qp = quantize_linear_w4(
+        {"kernel": rng.normal(size=(Ka, D)).astype(np.float32) * 0.05})
+    gu_qp = quantize_linear_w4(
+        {"kernel": rng.normal(size=(D, 2 * F)).astype(np.float32) * 0.05})
+    down_qp = quantize_linear_w4(
+        {"kernel": rng.normal(size=(F, D)).astype(np.float32) * 0.05})
+    nw = jnp.ones((D,), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, D)), jnp.bfloat16)
+    att = jnp.asarray(rng.normal(size=(2, Ka)), jnp.bfloat16)
+
+    got = np.asarray(w4_swiglu_mlp(x, gu_qp, down_qp,
+                                   out_dtype=jnp.float32, interpret=True))
+    want = np.asarray(_w4_swiglu_ref(x, gu_qp, down_qp, jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=5e-2)
+
+    y = w4_postattn_fused(x, att, o_qp, gu_qp, down_qp, nw, eps=1e-6,
+                          interpret=True)
+    x2 = x + qdense_w4(att, o_qp, out_dtype=x.dtype)
+    xf = x2.astype(jnp.float32)
+    h = (xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), -1, keepdims=True)
+                            + 1e-6) * nw).astype(x2.dtype)
+    want2 = x2 + _w4_swiglu_ref(h, gu_qp, down_qp, jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(want2, np.float32),
+                               rtol=3e-2, atol=5e-2)

@@ -232,3 +232,17 @@ def test_render_chat():
     assert "<|im_start|>user\nhi<|im_end|>\n" in s
     assert render_chat(chat, add_generation_prompt=False).endswith(
         "yo<|im_end|>\n")
+
+
+def test_reason_llm_without_sample_fn_raises(qa_setup, tmp_path):
+    """A contract-conforming LLMInterface without sample_fn gets a clear
+    error from reasoning mode instead of an AttributeError."""
+    from vla_touch_tpu.planning.run_llm import reason_llm
+
+    qa_path, rng = qa_setup
+    st = PE.init_tactile_encoder(TINY_CLIP, jax.random.PRNGKey(0))
+    llm = _stub_llm(rng)
+    assert llm.sample_fn is None
+    with pytest.raises(ValueError, match="sample_fn"):
+        reason_llm(st, llm, {}, [], str(tmp_path),
+                   reasoning_sampling_num=3)

@@ -609,14 +609,14 @@ def w4_swiglu_mlp(x, gu_qp: dict, down_qp: dict, *,
           and gsd % 32 == 0 and Gg % 2 == 0 and Gd % 2 == 0
           and down_qp["w4_pack"].shape[0] * 2 == F)
     if not ok:
-        # unfused fallback: two streaming launches, same numerics
-        act = w4a8_matmul(x, gu_qp["w4_pack"], gu_qp["scale4"],
-                          gu_qp.get("bias"), out_dtype=jnp.bfloat16,
-                          interpret=interpret)
+        # unfused fallback: two streaming launches, same numerics — via the
+        # dispatching entry so kernel-unfriendly dims degrade to XLA's
+        # qdense_w4 instead of tripping the raw kernel's layout asserts
+        act = qdense_pallas_w4(x, gu_qp, out_dtype=jnp.bfloat16,
+                               interpret=interpret)
         g, u = jnp.split(act, 2, axis=-1)
-        return w4a8_matmul(jax.nn.silu(g) * u, down_qp["w4_pack"],
-                           down_qp["scale4"], down_qp.get("bias"),
-                           out_dtype=out_dtype, interpret=interpret)
+        return qdense_pallas_w4(jax.nn.silu(g) * u, down_qp,
+                                out_dtype=out_dtype, interpret=interpret)
 
     Tg = F // bn_g
     Td = N // bn_d
@@ -807,10 +807,10 @@ def w4_postattn_fused(x, att, o_qp: dict, gu_qp: dict, down_qp: dict,
           and all(g % 2 == 0 for g in (Go, Gg, Gd))
           and all(s % 32 == 0 for s in (gso, gsg, gsd)))
     if not ok:
-        # composed fallback — numerically the same op sequence
-        x2 = x + w4a8_matmul(att, o_qp["w4_pack"], o_qp["scale4"],
-                             o_qp.get("bias"), out_dtype=x.dtype,
-                             interpret=interpret)
+        # composed fallback — numerically the same op sequence, through the
+        # dispatching entries so kernel-unfriendly dims reach XLA
+        x2 = x + qdense_pallas_w4(att, o_qp, out_dtype=x.dtype,
+                                  interpret=interpret)
         xf = x2.astype(jnp.float32)
         h = (xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), -1, keepdims=True)
                                 + eps) * norm_w).astype(x2.dtype)

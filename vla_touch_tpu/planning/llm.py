@@ -471,7 +471,12 @@ def _postattn_megakernel_ok(lp, lo) -> bool:
 
 def _mlp(lp, lo, lscale, h):
     """SwiGLU MLP, via the fused ``gateup`` leaf when present."""
-    if _swiglu_megakernel_ok(lp, lo) and jax.default_backend() == "tpu":
+    # bf16-activation gate: the megakernel keeps its intermediates in bf16
+    # (matching the unfused path only when activations already are); f32
+    # activation trees keep the per-op route, whose residual/act dtypes
+    # follow x.dtype exactly.
+    if (_swiglu_megakernel_ok(lp, lo) and jax.default_backend() == "tpu"
+            and h.dtype == jnp.bfloat16):
         # gateup + silu*mul + down as ONE pallas launch (w4 decode serving;
         # numerics identical to the unfused chain — tests/test_quant.py)
         from vla_touch_tpu.ops.pallas_matmul import qdense_pallas_swiglu
@@ -674,7 +679,8 @@ def _generate_impl(cfg: LLMConfig, params: dict, prompt_embeds,
                     c, upd, (i, 0, 0)))(vc, v, kv_len)
             att = _attend(q, kc, vc, valid)
             if (_postattn_megakernel_ok(lp, lo)
-                    and jax.default_backend() == "tpu"):
+                    and jax.default_backend() == "tpu"
+                    and x.dtype == jnp.bfloat16):
                 # the whole post-attention half of the layer as ONE pallas
                 # launch (ops/pallas_matmul.py::w4_postattn_fused)
                 from vla_touch_tpu.ops.pallas_matmul import w4_postattn_fused

@@ -38,7 +38,10 @@ class LLMInterface:
     - ``loss_fn(input_embeds, answer) -> scalar`` differentiable w.r.t. the
       input embeddings (teacher-forced LM loss);
     - ``generate_fn(input_embeds) -> str`` greedy decode;
-    - ``start_embed`` / ``end_embed``: delimiter-token embeddings (D,).
+    - ``start_embed`` / ``end_embed``: delimiter-token embeddings (D,);
+    - ``sample_fn(input_embeds, num, temperature, seed) -> list`` of
+      ``{"text", "avg_surprisal"}`` dicts — N tempered candidates; optional,
+      needed only by :func:`reason_llm` with ``reasoning_sampling_num > 1``.
     """
 
     dim: int
@@ -47,6 +50,7 @@ class LLMInterface:
     generate_fn: Callable
     start_embed: np.ndarray
     end_embed: np.ndarray
+    sample_fn: Optional[Callable] = None
 
 
 def _encode_video(encoder_state: PE.TactileEncoderState, video_dir: str,
@@ -222,10 +226,10 @@ def make_llm_interface(cfg, params, tokenizer=None, lora=None,
                          start_embed=np.asarray(L.embed_tokens(
                              params, jnp.asarray([tok.TACTILE_START])))[0],
                          end_embed=np.asarray(L.embed_tokens(
-                             params, jnp.asarray([tok.TACTILE_END])))[0])
+                             params, jnp.asarray([tok.TACTILE_END])))[0],
+                         sample_fn=sample_fn)
     iface.last_entropy = None
     iface.tokenizer = tok
-    iface.sample_fn = sample_fn
     return iface
 
 
@@ -335,9 +339,12 @@ def reason_llm(encoder_state: PE.TactileEncoderState, llm: LLMInterface,
                                             jnp.asarray(f)))[None],
             llm.start_embed, llm.end_embed)
 
+    if reasoning_sampling_num > 1 and llm.sample_fn is None:
+        raise ValueError(
+            "reasoning_sampling_num > 1 needs an LLMInterface with "
+            "sample_fn (see make_llm_interface); got None")
     all_reason: dict = {}
     sample_no: dict = {}
-    valid = ("A", "B", "C", "D")
     for ri, row in enumerate(rows):
         info = row.get("info", {})
         scenario = f"{info.get('scenario', 'scenario')}_" \
@@ -381,10 +388,13 @@ def reason_llm(encoder_state: PE.TactileEncoderState, llm: LLMInterface,
             cands = llm.sample_fn(splice(final_prompt, feats),
                                   reasoning_sampling_num,
                                   reasoning_temperature, seed=seed + ri)
+            # option letters follow the scenario's candidate count (the QA
+            # generators bound it only by the data, not by 4)
+            letters = tuple(chr(ord("A") + i)
+                            for i in range(info.get("num_candidates", 3)))
             final_generation, _, option_counts, option_scores = \
-                select_generation(
-                    cands, reasoning_selection_type,
-                    valid_options=valid[: info.get("num_candidates", 3)])
+                select_generation(cands, reasoning_selection_type,
+                                  valid_options=letters)
         all_reason.setdefault(scenario, []).append({
             "sample_no": sample_no[scenario],
             "sample_paths": list(info.get("tactile", [])),
