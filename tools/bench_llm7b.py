@@ -1,0 +1,187 @@
+"""Qwen2.5-7B-scale w4 decode throughput across the fusion tiers, one chip.
+
+Measures the launch-fusion ladder end-to-end (greedy decode as one jitted
+scan, so the tunnel's per-dispatch RTT is amortized over the whole decode):
+
+  unfused      — one pallas launch per quantized matmul (~200/token)
+  concat       — qkv + gateup concat fusion (fuse_quantized_layers, ~113)
+  +swiglu      — concat + the single-launch SwiGLU-MLP megakernel
+  +postattn    — concat + the post-attention megakernel (2 launches/layer)
+
+plus, at the best tier: B=4 aggregate decode and best-of-n sampling (N=8,
+one shared prompt pass — reference run_llm.py:201-330 pays the prompt N
+times through HF generate).
+
+Weights are random-init (no checkpoints in this environment) — decode
+throughput is weight-streaming bound, so numerics don't matter for timing;
+the megakernel/fusion NUMERICS are pinned separately in tests/test_quant.py
+and tests/test_llm.py.
+
+Usage:  python tools/bench_llm7b.py [--tokens 64] [--json OUT]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+import vla_touch_tpu.planning.llm as L
+from vla_touch_tpu.ops.quant import quantize_tree_w4
+
+
+def build_w4_tree(cfg: L.LLMConfig, seed: int = 0) -> dict:
+    """7B w4 tree built layer-by-layer ON DEVICE: peak transient is one
+    bf16 layer (~0.5 GB) + its packed output, same discipline as
+    load_llm_from_hf's streaming quantizer."""
+    qt = jax.jit(quantize_tree_w4)
+    key = jax.random.PRNGKey(seed)
+    D, hd = cfg.hidden_size, cfg.head_dim
+
+    def dense(k, din, dout, bias):
+        p = {"kernel": jax.random.normal(k, (din, dout), jnp.bfloat16) * 0.02}
+        if bias:
+            p["bias"] = jnp.zeros((dout,), jnp.float32)
+        return p
+
+    layers = []
+    for i in range(cfg.num_layers):
+        key, kq, kk, kv, ko, kg, ku, kd = jax.random.split(key, 8)
+        lp = {
+            "input_norm": jnp.ones((D,), jnp.float32),
+            "q": dense(kq, D, cfg.num_heads * hd, cfg.qkv_bias),
+            "k": dense(kk, D, cfg.num_kv_heads * hd, cfg.qkv_bias),
+            "v": dense(kv, D, cfg.num_kv_heads * hd, cfg.qkv_bias),
+            "o": dense(ko, cfg.num_heads * hd, D, False),
+            "post_norm": jnp.ones((D,), jnp.float32),
+            "gate": dense(kg, D, cfg.mlp_dim, False),
+            "up": dense(ku, D, cfg.mlp_dim, False),
+            "down": dense(kd, cfg.mlp_dim, D, False),
+        }
+        layers.append(jax.block_until_ready(qt(lp)))
+    key, ke, kh = jax.random.split(key, 3)
+    params = {
+        "layers": layers,
+        "embed": jax.random.normal(ke, (cfg.vocab_size, D), jnp.bfloat16)
+        * 0.02,
+        "final_norm": jnp.ones((D,), jnp.float32),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = jax.block_until_ready(
+            qt(dense(kh, D, cfg.vocab_size, False)))
+    return params
+
+
+def make_decoder(cfg, T, *, swiglu, postattn, N=1, temperature=None):
+    """A fresh jit of the decode loop with the megakernel dispatch pinned
+    to the requested tier (the _ok predicates are consulted at TRACE time,
+    so each tier gets its own jit object and compiles under the patch)."""
+    fn = jax.jit(partial(
+        L._generate_impl, cfg, max_new_tokens=T, eos_id=-1, lora=None,
+        temperature=temperature, num_return_sequences=N))
+
+    def run(params, prompt, key):
+        orig_s, orig_p = L._swiglu_megakernel_ok, L._postattn_megakernel_ok
+        if not swiglu:
+            L._swiglu_megakernel_ok = lambda lp, lo: False
+        if not postattn:
+            L._postattn_megakernel_ok = lambda lp, lo: False
+        try:
+            return fn(params, prompt, key=key)
+        finally:
+            L._swiglu_megakernel_ok = orig_s
+            L._postattn_megakernel_ok = orig_p
+
+    return run
+
+
+def time_decode(run, params, prompt, key, T, iters=3):
+    out = run(params, prompt, key)
+    jax.block_until_ready(out)                       # compile + warm
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = run(params, prompt, key)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    B = prompt.shape[0]
+    N = out[0].shape[0] // B
+    return {"s": round(best, 4), "tok_s": round(T / best, 1),
+            "agg_tok_s": round(B * N * T / best, 1)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tokens", type=int, default=64)
+    ap.add_argument("--prompt_len", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--tiers", default="unfused,concat,swiglu,postattn")
+    args = ap.parse_args()
+
+    cfg = L.qwen25_7b()
+    T, Lp = args.tokens, args.prompt_len
+    key = jax.random.PRNGKey(1)
+    prompt = jax.random.normal(key, (1, Lp, cfg.hidden_size),
+                               jnp.bfloat16) * 0.02
+
+    results = {"config": "qwen2.5-7b-arch w4", "tokens": T,
+               "prompt_len": Lp, "device": str(jax.devices()[0])}
+    t0 = time.perf_counter()
+    params = build_w4_tree(cfg)
+    print(f"built w4 tree in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    tiers = args.tiers.split(",")
+    if "unfused" in tiers:
+        run = make_decoder(cfg, T, swiglu=False, postattn=False)
+        results["unfused_b1"] = time_decode(run, params, prompt, key, T,
+                                            args.iters)
+        print("unfused  b1:", results["unfused_b1"], flush=True)
+
+    fused = L.fuse_quantized_layers(params)
+    if "unfused" in tiers:
+        del params            # free the unfused layer leaves
+
+    if "concat" in tiers:
+        run = make_decoder(cfg, T, swiglu=False, postattn=False)
+        results["concat_b1"] = time_decode(run, fused, prompt, key, T,
+                                           args.iters)
+        print("concat   b1:", results["concat_b1"], flush=True)
+
+    if "swiglu" in tiers:
+        run = make_decoder(cfg, T, swiglu=True, postattn=False)
+        results["swiglu_b1"] = time_decode(run, fused, prompt, key, T,
+                                           args.iters)
+        print("+swiglu  b1:", results["swiglu_b1"], flush=True)
+
+    if "postattn" in tiers:
+        run = make_decoder(cfg, T, swiglu=True, postattn=True)
+        results["postattn_b1"] = time_decode(run, fused, prompt, key, T,
+                                             args.iters)
+        print("+postattn b1:", results["postattn_b1"], flush=True)
+
+        prompt4 = jnp.broadcast_to(prompt, (4, Lp, cfg.hidden_size))
+        run4 = make_decoder(cfg, T, swiglu=True, postattn=True)
+        results["postattn_b4"] = time_decode(run4, fused, prompt4, key, T,
+                                             args.iters)
+        print("+postattn b4:", results["postattn_b4"], flush=True)
+
+        runN = make_decoder(cfg, T, swiglu=True, postattn=True, N=8,
+                            temperature=0.7)
+        results["postattn_b1_n8_sampled"] = time_decode(
+            runN, fused, prompt, key, T, args.iters)
+        print("+postattn b1 N=8 sampled:", results["postattn_b1_n8_sampled"],
+              flush=True)
+
+    print(json.dumps(results))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

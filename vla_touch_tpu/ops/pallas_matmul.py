@@ -460,6 +460,18 @@ def _w4a8_diff_bwd(out_dtype, interpret, res, g):
 _w4a8_matmul_diff.defvjp(_w4a8_diff_fwd, _w4a8_diff_bwd)
 
 
+def _silu_mul(g, u):
+    """The megakernels' silu placement: g/u in the activation dtype (the
+    unfused chain's bf16 intermediates), the LOGISTIC in f32 — Mosaic
+    cannot lower a bf16 logistic at the 7B tile shapes ('vector.broadcast'
+    f32->bf16 verification error on v5e) — and the product cast back.
+    Used by the kernels AND their fallback/differentiation references so
+    the kernel == reference contract stays exact; one extra rounding vs
+    XLA's bf16 ``jax.nn.silu``."""
+    gf = g.astype(jnp.float32)
+    return (gf * jax.nn.sigmoid(gf)).astype(g.dtype) * u
+
+
 # ---- w4 SwiGLU-MLP megakernel: gateup + silu*mul + down in ONE launch -------
 #
 # The B=1 w4 decode is bounded by pallas_call launch overhead once the
@@ -533,13 +545,12 @@ def _w4_swiglu_kernel(x_ref, g_ref, u_ref, gs_ref, us_ref, gb_ref, ub_ref,
         dot = (_w4_group_dot_unrolled if Gg <= 32 else _w4_group_dot_rolled)
         g_acc = dot(xi_scr, g_ref, gs_ref, Gg, gsg, Mp, bn_g)
         u_acc = dot(xi_scr, u_ref, us_ref, Gg, gsg, Mp, bn_g)
-        # match the unfused op/dtype sequence exactly: dequant -> bf16 cast
-        # -> silu(g) * u in bf16 (what llm._mlp computes between the two
-        # qdense_w4 calls)
+        # dequant -> bf16 cast of g/u (the unfused chain's intermediates),
+        # then _silu_mul (f32 logistic — see its docstring)
         g_b = (g_acc * xrs_scr[:, 0:1] + gb_ref[...]).astype(act_scr.dtype)
         u_b = (u_acc * xrs_scr[:, 0:1] + ub_ref[...]).astype(act_scr.dtype)
         col = t * bn_g
-        act_scr[:, pl.ds(col, bn_g)] = jax.nn.silu(g_b) * u_b
+        act_scr[:, pl.ds(col, bn_g)] = _silu_mul(g_b, u_b)
 
     @pl.when(t == Tg)
     def _quantize_act():
@@ -615,7 +626,7 @@ def w4_swiglu_mlp(x, gu_qp: dict, down_qp: dict, *,
         act = qdense_pallas_w4(x, gu_qp, out_dtype=jnp.bfloat16,
                                interpret=interpret)
         g, u = jnp.split(act, 2, axis=-1)
-        return qdense_pallas_w4(jax.nn.silu(g) * u, down_qp,
+        return qdense_pallas_w4(_silu_mul(g, u), down_qp,
                                 out_dtype=out_dtype, interpret=interpret)
 
     Tg = F // bn_g
@@ -732,7 +743,7 @@ def _w4_postattn_kernel(x_ref, att_ref, ow_ref, os_ref, ob_ref, nw_ref,
         g_b = (g_acc * hrs_scr[:, 0:1] + gb_ref[...]).astype(act_scr.dtype)
         u_b = (u_acc * hrs_scr[:, 0:1] + ub_ref[...]).astype(act_scr.dtype)
         col = (t - To) * bn_g
-        act_scr[:, pl.ds(col, bn_g)] = jax.nn.silu(g_b) * u_b
+        act_scr[:, pl.ds(col, bn_g)] = _silu_mul(g_b, u_b)
 
     @pl.when(t == To + Tg)
     def _quantize_act():
@@ -908,7 +919,7 @@ def _w4_swiglu_ref(x, gu_qp, down_qp, out_dtype):
 
     act = qdense_w4(x, gu_qp, out_dtype=jnp.bfloat16)
     g, u = jnp.split(act, 2, axis=-1)
-    return qdense_w4(jax.nn.silu(g) * u, down_qp, out_dtype=out_dtype)
+    return qdense_w4(_silu_mul(g, u), down_qp, out_dtype=out_dtype)
 
 
 def _w4_swiglu_fwd(out_dtype, interpret, x, gu_qp, down_qp):
@@ -950,7 +961,7 @@ def qdense_pallas_swiglu(x, gu_qp: dict, down_qp: dict,
         act = qdense_pallas_w4(x, gu_qp, out_dtype=jnp.bfloat16,
                                interpret=interpret)
         g, u = jnp.split(act, 2, axis=-1)
-        return qdense_pallas_w4(jax.nn.silu(g) * u, down_qp,
+        return qdense_pallas_w4(_silu_mul(g, u), down_qp,
                                 out_dtype=out_dtype, interpret=interpret)
     return _w4_swiglu_diff(out_dtype, interpret, x, gu_qp, down_qp)
 
