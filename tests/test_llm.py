@@ -408,6 +408,13 @@ def test_sequence_avg_surprisal_masks_past_eos():
     np.testing.assert_allclose(avg, [1.5, 2.0])
 
 
+def test_megakernels_default_off():
+    """Measured dispatch policy (tools/bench_llm7b.py, v5e, 7B w4 decode):
+    per-matmul kernels 97.6 tok/s beat every fusion tier (concat 92.2,
+    +swiglu 75.8, +postattn 52.8), so megakernel routing is opt-in."""
+    assert L.MEGAKERNELS is False
+
+
 def test_swiglu_megakernel_eligibility():
     """The decode MLP routes to the single-launch megakernel exactly when
     both leaves are fused w4 and no MLP LoRA residual is attached."""

@@ -154,7 +154,8 @@ def load_llm_from_hf(cfg: LLMConfig, model_dir: str, weights=None,
     bf16+int8 ≈ 23 GB and OOMs).  Replaces the reference's
     ``infer_auto_device_map`` + disk-offload loading (llm.py:45-75).
     ``fuse=True`` (quantized loads only) additionally applies
-    :func:`fuse_quantized_layers` for single-chip decode serving.
+    :func:`fuse_quantized_layers` — measured a slight loss on v5e (see
+    that function's docstring), so the default stays unfused.
     """
     if fuse and weights is None:
         raise ValueError("fuse=True requires weights='int8'|'int4'")
@@ -342,9 +343,12 @@ def fuse_quantized_layers(params: dict) -> dict:
     The int8 and grouped-int4 layouts are column-independent (per-channel
     / per-(group, channel) scales), so output-axis concatenation is EXACT
     — the fused forward is numerically identical to the unfused one.  The
-    win is per-token launch count: B=1 decode is weight-streaming bound
-    and each quantized matmul is its own kernel launch; fusing cuts 7 ->
-    4 launches per layer.  Single-chip decode serving only — the TP specs
+    intended win was per-token launch count (7 -> 4 launches per layer),
+    but ON-CHIP MEASUREMENT (v5e, 7B w4 decode, tools/bench_llm7b.py)
+    shows the concat fusion is a slight LOSS: 92.2 vs 97.6 tok/s unfused
+    — launch overhead is not the bottleneck, and the wider fused matmuls
+    tile slightly worse.  Retained as opt-in; the loader default is
+    ``fuse=False``.  Single-chip decode serving only — the TP specs
     (:func:`llm_tp_spec`) key on the unfused names, and
     :func:`merge_lora` must run BEFORE fusing (runtime LoRA residuals on
     a fused tree still work; merging does not).
@@ -452,6 +456,18 @@ def _proj_qkv(cfg: LLMConfig, lp, lo, lscale, h, B, L):
             v.reshape(B, L, Hkv, hd))
 
 
+# Measured dispatch policy (v5e, Qwen2.5-7B arch, w4, 64-token decode,
+# tools/bench_llm7b.py, 2026-08): per-matmul kernels 97.6 tok/s > concat
+# fusion 92.2 > +SwiGLU megakernel 75.8 > +post-attention megakernel 52.8.
+# Launch overhead is NOT the decode bottleneck on this stack — the
+# megakernels' phase barriers (VMEM scratch + in-kernel quantize between
+# weight streams) cost more than the launches they remove, so they default
+# OFF and the decode path runs the measured winner.  The kernels remain
+# correct, differentiable, and parity-pinned (tests/test_quant.py); flip
+# this flag to re-evaluate on new hardware or shapes.
+MEGAKERNELS = False
+
+
 def _swiglu_megakernel_ok(lp, lo) -> bool:
     """The single-launch SwiGLU megakernel applies when both MLP leaves are
     grouped-int4 in the fused ``gateup`` layout and no LoRA residual needs
@@ -475,7 +491,8 @@ def _mlp(lp, lo, lscale, h):
     # (matching the unfused path only when activations already are); f32
     # activation trees keep the per-op route, whose residual/act dtypes
     # follow x.dtype exactly.
-    if (_swiglu_megakernel_ok(lp, lo) and jax.default_backend() == "tpu"
+    if (MEGAKERNELS and _swiglu_megakernel_ok(lp, lo)
+            and jax.default_backend() == "tpu"
             and h.dtype == jnp.bfloat16):
         # gateup + silu*mul + down as ONE pallas launch (w4 decode serving;
         # numerics identical to the unfused chain — tests/test_quant.py)
@@ -678,7 +695,7 @@ def _generate_impl(cfg: LLMConfig, params: dict, prompt_embeds,
                 lambda c, upd, i: jax.lax.dynamic_update_slice(
                     c, upd, (i, 0, 0)))(vc, v, kv_len)
             att = _attend(q, kc, vc, valid)
-            if (_postattn_megakernel_ok(lp, lo)
+            if (MEGAKERNELS and _postattn_megakernel_ok(lp, lo)
                     and jax.default_backend() == "tpu"
                     and x.dtype == jnp.bfloat16):
                 # the whole post-attention half of the layer as ONE pallas
