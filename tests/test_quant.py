@@ -555,19 +555,19 @@ def test_w4_swiglu_dispatcher_and_grad(rng):
 
 def test_w4_postattn_megakernel_matches_unfused(rng):
     """Interpret-mode post-attention megakernel (o + residual + rmsnorm +
-    SwiGLU MLP + residual in one launch) == the unfused op sequence."""
-    from vla_touch_tpu.ops.pallas_matmul import w4_postattn_fused
-    from vla_touch_tpu.ops.quant import qdense_w4, quantize_linear_w4
+    SwiGLU MLP + residual in one launch) == the unfused op sequence.
 
-    def ref(x, att, o_qp, gu_qp, down_qp, nw, eps):
-        x2 = x + qdense_w4(att, o_qp, out_dtype=x.dtype)
-        xf = x2.astype(jnp.float32)
-        h = (xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), -1, keepdims=True)
-                                + eps) * nw).astype(x2.dtype)
-        act = qdense_w4(h, gu_qp, out_dtype=jnp.bfloat16)
-        g, u = jnp.split(act, 2, axis=-1)
-        return x2 + qdense_w4(jax.nn.silu(g) * u, down_qp,
-                              out_dtype=x2.dtype)
+    The reference MUST be ``_w4_postattn_ref`` (the kernel's exact dtype
+    ladder, with ``_silu_mul``'s f32 logistic): a bf16 ``jax.nn.silu``
+    chain differs by one rounding, which the per-token int8 activation
+    quant amplifies to a full quant step on ~6%% of elements — the round-3
+    deterministic failure on the bench TPU.  Against the exact ladder the
+    interpret-mode kernel is bit-identical on CPU and TPU."""
+    from vla_touch_tpu.ops.pallas_matmul import (
+        _w4_postattn_ref, w4_postattn_fused)
+    from vla_touch_tpu.ops.quant import quantize_linear_w4
+
+    ref = _w4_postattn_ref
 
     Ka, D, F, M = 384, 256, 512, 2
     wo = rng.normal(size=(Ka, D)).astype(np.float32) * 0.05
@@ -585,7 +585,10 @@ def test_w4_postattn_megakernel_matches_unfused(rng):
                       np.float32)
     got = np.asarray(w4_postattn_fused(x, att, o_qp, gu_qp, down_qp, nw,
                                        eps=1e-6, interpret=True), np.float32)
-    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
+    # exact ladder: the only residual risk is a platform reassociating the
+    # f32 rmsnorm mean (sub-ulp), which can flip an int8 round() on a
+    # knife-edge element — hence a tight-but-not-zero bound
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
     # oversize M degrades to the composed fallback: same op sequence, but
     # under jit XLA re-fuses the bf16 rmsnorm chain (verified: identical
@@ -605,8 +608,8 @@ def test_w4_megakernel_fallbacks_handle_unfriendly_dims(rng):
     XLA path through the dispatching entries, not trip the raw kernel's
     layout asserts (review finding, reproduced pre-fix)."""
     from vla_touch_tpu.ops.pallas_matmul import (
-        _w4_swiglu_ref, w4_postattn_fused, w4_swiglu_mlp)
-    from vla_touch_tpu.ops.quant import qdense_w4, quantize_linear_w4
+        _w4_postattn_ref, _w4_swiglu_ref, w4_postattn_fused, w4_swiglu_mlp)
+    from vla_touch_tpu.ops.quant import quantize_linear_w4
 
     Ka, D, F = 128, 64, 64
     o_qp = quantize_linear_w4(
@@ -626,11 +629,7 @@ def test_w4_megakernel_fallbacks_handle_unfriendly_dims(rng):
 
     y = w4_postattn_fused(x, att, o_qp, gu_qp, down_qp, nw, eps=1e-6,
                           interpret=True)
-    x2 = x + qdense_w4(att, o_qp, out_dtype=x.dtype)
-    xf = x2.astype(jnp.float32)
-    h = (xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), -1, keepdims=True)
-                            + 1e-6) * nw).astype(x2.dtype)
-    want2 = x2 + _w4_swiglu_ref(h, gu_qp, down_qp, jnp.bfloat16)
+    want2 = _w4_postattn_ref(x, att, o_qp, gu_qp, down_qp, nw, 1e-6)
     np.testing.assert_allclose(np.asarray(y, np.float32),
                                np.asarray(want2, np.float32),
                                rtol=3e-2, atol=5e-2)

@@ -48,6 +48,15 @@ def build_w4_tree(cfg: L.LLMConfig, seed: int = 0) -> dict:
             p["bias"] = jnp.zeros((dout,), jnp.float32)
         return p
 
+    def _pace(quantized):
+        # block_until_ready is a no-op on the tunnel backend (see _fetch),
+        # so pace the layer-by-layer peak-memory discipline the same way:
+        # host-fetch a tiny reduction of one quantized leaf — the fetch
+        # cannot land before the whole layer's quantize completes.
+        leaf = jax.tree.leaves(quantized)[0]
+        jax.device_get(jnp.sum(leaf.astype(jnp.float32)))
+        return quantized
+
     layers = []
     for i in range(cfg.num_layers):
         key, kq, kk, kv, ko, kg, ku, kd = jax.random.split(key, 8)
@@ -62,7 +71,7 @@ def build_w4_tree(cfg: L.LLMConfig, seed: int = 0) -> dict:
             "up": dense(ku, D, cfg.mlp_dim, False),
             "down": dense(kd, cfg.mlp_dim, D, False),
         }
-        layers.append(jax.block_until_ready(qt(lp)))
+        layers.append(_pace(qt(lp)))
     key, ke, kh = jax.random.split(key, 3)
     params = {
         "layers": layers,
@@ -71,8 +80,7 @@ def build_w4_tree(cfg: L.LLMConfig, seed: int = 0) -> dict:
         "final_norm": jnp.ones((D,), jnp.float32),
     }
     if not cfg.tie_embeddings:
-        params["lm_head"] = jax.block_until_ready(
-            qt(dense(kh, D, cfg.vocab_size, False)))
+        params["lm_head"] = _pace(qt(dense(kh, D, cfg.vocab_size, False)))
     return params
 
 
@@ -189,8 +197,7 @@ def main():
     if done:
         _, best_key = min(done)
         swiglu, postattn, tname = tier_flags[best_key]
-        best_params = params if tname == "unfused" and params is not None \
-            else fused
+        best_params = params if tname == "unfused" else fused
         results["best_tier"] = tname
 
         prompt4 = jnp.broadcast_to(prompt, (4, Lp, cfg.hidden_size))

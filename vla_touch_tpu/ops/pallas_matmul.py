@@ -922,6 +922,26 @@ def _w4_swiglu_ref(x, gu_qp, down_qp, out_dtype):
     return qdense_w4(_silu_mul(g, u), down_qp, out_dtype=out_dtype)
 
 
+def _w4_postattn_ref(x, att, o_qp, gu_qp, down_qp, norm_w, eps,
+                     out_dtype=jnp.bfloat16):
+    """The unfused op/dtype ladder :func:`w4_postattn_fused` implements —
+    THE parity reference for the megakernel.  Every cast matches the kernel
+    exactly, including :func:`_silu_mul` (f32 logistic, product cast): a
+    one-ulp silu difference propagates through the down-projection's
+    per-token int8 activation quant and flips quant buckets, which is why a
+    plain ``jax.nn.silu`` bf16 chain is NOT a valid reference (the round-3
+    red test on the bench TPU was exactly that — 6.25%% of elements one
+    quant step off)."""
+    from vla_touch_tpu.ops.quant import qdense_w4
+
+    x2 = x + qdense_w4(att, o_qp, out_dtype=x.dtype)
+    xf = x2.astype(jnp.float32)
+    h = (xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), -1, keepdims=True)
+                            + eps) * norm_w).astype(x2.dtype)
+    return (x2 + _w4_swiglu_ref(h, gu_qp, down_qp, x2.dtype)).astype(
+        out_dtype)
+
+
 def _w4_swiglu_fwd(out_dtype, interpret, x, gu_qp, down_qp):
     y = w4_swiglu_mlp(x, gu_qp, down_qp, out_dtype=out_dtype,
                       interpret=interpret)

@@ -464,7 +464,11 @@ def _proj_qkv(cfg: LLMConfig, lp, lo, lscale, h, B, L):
 # weight streams) cost more than the launches they remove, so they default
 # OFF and the decode path runs the measured winner.  The kernels remain
 # correct, differentiable, and parity-pinned (tests/test_quant.py); flip
-# this flag to re-evaluate on new hardware or shapes.
+# this flag to re-evaluate on new hardware or shapes.  NOTE: the flag is
+# read at TRACE time inside the module-level-jitted decode entries, so
+# flipping it in-process only takes effect after ``jax.clear_caches()``
+# (or in a fresh process) — a same-shape call otherwise reuses the cached
+# trace compiled under the old value.
 MEGAKERNELS = False
 
 
