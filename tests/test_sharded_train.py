@@ -247,3 +247,77 @@ def test_tp_sharded_serving_matches_single_device(rng):
                                args[5], init_noise=args[6])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_cross_topology_checkpoint_restore(rng, tmp_path):
+    """Save a sharded train state at one topology (DP8 + ZeRO-3/FSDP),
+    restore it at another (DP4 x TP2 ZeRO-2, and single-device), resume,
+    and match the uninterrupted run — the reference's resume story is
+    exactly 'come back on different hardware'
+    (``/root/reference/VLA/train/train.py:347-389``).  Orbax restores each
+    leaf with the TARGET tree's sharding regardless of the sharding it was
+    saved under; two post-restore steps also exercise the restored
+    optimizer moments (the second step's loss depends on them)."""
+    import dataclasses
+
+    from vla_touch_tpu.utils import checkpoint as ckpt
+    from vla_touch_tpu.utils.ema import EmaState
+
+    tcfg_z3 = dataclasses.replace(TCFG, zero3=True)
+    k_step1, k_step2, k_step3 = (jax.random.PRNGKey(i) for i in (1, 2, 3))
+    batch1 = _batch(rng, 2, 8)
+    batch2 = _batch(rng, 2, 8)   # micro=8 divides both meshes' data axes
+    batch3 = _batch(rng, 2, 8)
+
+    # -- topology A: DP8, ZeRO-3 params/EMA, one step, save -------------------
+    mesh_a = mesh_lib.make_mesh(n_data=8, n_model=1)
+    state = T.init_train_state(RCFG, tcfg_z3, jax.random.PRNGKey(0))
+    step_a, sh_a = T.make_sharded_train_step(mesh_a, RCFG, tcfg_z3)
+    state = T.shard_train_state(mesh_a, state, sh_a)
+    state, _ = step_a(state, k_step1, batch1)
+
+    path = str(tmp_path / "ck" / "state.orbax")
+    ckpt.save_pytree_orbax(path, {"params": state.params,
+                                  "ema": state.ema.shadow,
+                                  "opt_state": state.opt_state})
+    meta = {"step": int(state.step),
+            "ema_num_updates": int(state.ema.num_updates)}
+
+    # -- oracle: the uninterrupted run continues on topology A ----------------
+    state, m2 = step_a(state, k_step2, batch2)
+    _, m3 = step_a(state, k_step3, batch3)
+    want2, want3 = float(m2["loss"]), float(m3["loss"])
+
+    def _resume(tree, state_t):
+        return dataclasses.replace(
+            state_t, params=tree["params"], opt_state=tree["opt_state"],
+            ema=EmaState(shadow=tree["ema"],
+                         num_updates=jnp.asarray(meta["ema_num_updates"],
+                                                 jnp.int32)),
+            step=jnp.asarray(meta["step"], jnp.int32))
+
+    # -- topology B: DP4 x TP2, default (ZeRO-2) shardings --------------------
+    mesh_b = mesh_lib.make_mesh(n_data=4, n_model=2)
+    state_b = T.init_train_state(RCFG, TCFG, jax.random.PRNGKey(9))
+    step_b, sh_b = T.make_sharded_train_step(mesh_b, RCFG, TCFG)
+    state_b = T.shard_train_state(mesh_b, state_b, sh_b)
+    tree_b = ckpt.load_pytree_orbax(path, {"params": state_b.params,
+                                           "ema": state_b.ema.shadow,
+                                           "opt_state": state_b.opt_state})
+    state_b = _resume(tree_b, state_b)
+    state_b, mb2 = step_b(state_b, k_step2, batch2)
+    _, mb3 = step_b(state_b, k_step3, batch3)
+    assert abs(float(mb2["loss"]) - want2) < 1e-5
+    assert abs(float(mb3["loss"]) - want3) < 1e-5
+
+    # -- topology C: plain single-device --------------------------------------
+    state_c = T.init_train_state(RCFG, TCFG, jax.random.PRNGKey(11))
+    tree_c = ckpt.load_pytree_orbax(path, {"params": state_c.params,
+                                           "ema": state_c.ema.shadow,
+                                           "opt_state": state_c.opt_state})
+    state_c = _resume(tree_c, state_c)
+    step_c = jax.jit(lambda s, k, b: T.train_step(RCFG, TCFG, s, k, b))
+    state_c, mc2 = step_c(state_c, k_step2, batch2)
+    _, mc3 = step_c(state_c, k_step3, batch3)
+    assert abs(float(mc2["loss"]) - want2) < 1e-5
+    assert abs(float(mc3["loss"]) - want3) < 1e-5
