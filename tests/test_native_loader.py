@@ -76,6 +76,86 @@ def test_bounds_errors(cache_path):
     cache.close()
 
 
+def test_epc2_lang_and_raw_pose_roundtrip(cache_path):
+    """v2 sections: the precomputed T5 embedding and the raw f64 poses
+    (the parity-critical state source) round-trip exactly."""
+    import h5py
+
+    h5, epc = cache_path
+    cache = native.EpisodeCache(epc)
+    with h5py.File(h5, "r") as f:
+        lang = np.asarray(f["instruct_embeddings"], np.float32)
+        ee = np.asarray(f["ee_poses"], np.float64)[:, :7]
+        grip = np.asarray(f["gripper_pos"], np.float64).reshape(-1)
+    got = cache.read_lang()
+    np.testing.assert_array_equal(got, lang.reshape(got.shape))
+    ee2, grip2 = cache.read_raw_pose()
+    np.testing.assert_array_equal(ee2, ee)
+    np.testing.assert_array_equal(grip2, grip)
+    cache.close()
+
+
+def test_episode_file_epc_keys(cache_path):
+    """EpisodeFile serves .epc through the same h5-style key surface."""
+    import h5py
+
+    from vla_touch_tpu.data.episode import EpisodeFile
+
+    h5, epc = cache_path
+    with EpisodeFile(epc) as f, h5py.File(h5, "r") as hf:
+        assert "ee_poses" in f and "instruct_embeddings" in f
+        assert "camera1/camera1" in f and "vla_action" in f
+        np.testing.assert_array_equal(
+            qpos_from_episode(f), qpos_from_episode(hf))
+        np.testing.assert_array_equal(
+            np.asarray(f["instruct_embeddings"]),
+            np.asarray(hf["instruct_embeddings"], np.float32))
+        frames = f["camera1/camera1"]
+        assert frames.shape == (30, 32, 32, 3)
+        assert frames[4:7].shape == (3, 32, 32, 3)
+        np.testing.assert_array_equal(
+            np.asarray(f["gelsight_force/forces"]),
+            np.asarray(hf["gelsight_force"]["forces"], np.float32))
+
+
+def test_epc_training_samples_match_h5(tmp_path):
+    """The adoption gate: with codec='raw', the UnifiedVLADataset sample
+    stream from .epc is byte-identical to the h5 stream (same seed, same
+    draws) — the trainer can switch with --data_format epc and reproduce
+    the h5 run exactly."""
+    from vla_touch_tpu.config import DataConfig
+    from vla_touch_tpu.data.pack_epc import pack_dataset
+    from vla_touch_tpu.data.vla_dataset import UnifiedVLADataset
+    from vla_touch_tpu.data.episode import make_synthetic_dataset
+
+    import os
+
+    name = "mango"
+    ddir = str(tmp_path / f"{name}_hdf5_gelsight")
+    os.makedirs(ddir)
+    make_synthetic_dataset(ddir, n_episodes=2, num_steps=40,
+                           img_size=40, chunk=8, lang_dim=16)
+    pack_dataset(ddir, codec="raw")
+
+    cfg_h5 = DataConfig(data_root=str(tmp_path), dataset_names=(name,),
+                        chunk_size=8, image_size=40)
+    cfg_epc = DataConfig(data_root=str(tmp_path), dataset_names=(name,),
+                         chunk_size=8, image_size=40, data_format="epc")
+    ds_h5 = UnifiedVLADataset(cfg_h5, seed=3)
+    ds_epc = UnifiedVLADataset(cfg_epc, seed=3)
+    assert len(ds_h5) == len(ds_epc) == 2
+    for _ in range(6):
+        a = ds_h5.get_item()
+        b = ds_epc.get_item()
+        assert a["meta"]["step_id"] == b["meta"]["step_id"]
+        for k in ("state", "actions", "state_std", "state_norm"):
+            np.testing.assert_array_equal(a[k], b[k])
+        np.testing.assert_array_equal(a["meta"]["instruction_embedding"],
+                                      b["meta"]["instruction_embedding"])
+        for k in ("cam_high", "cam_right_wrist"):
+            np.testing.assert_array_equal(a[k], b[k])
+
+
 def test_decode_throughput_multithreaded(cache_path):
     """Smoke perf check: 4 threads decode a full camera stream quickly."""
     import time

@@ -174,6 +174,10 @@ class DataConfig:
     state_noise_snr: Optional[float] = None
     image_aug: bool = False
     control_freq: int = 10           # Franka (agilex = 25)
+    data_format: str = "h5"          # "h5" (+npz) or "epc": the native
+    #                                  mmap'd episode cache
+    #                                  (runtime/native_loader.py; pack with
+    #                                  python -m vla_touch_tpu.data.pack_epc)
 
 
 @dataclasses.dataclass(frozen=True)

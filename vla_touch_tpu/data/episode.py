@@ -64,13 +64,45 @@ def list_episode_files(data_dir: str, pattern=(".h5",)) -> list:
     return out
 
 
+class _EpcFrames:
+    """Lazy h5-dataset-like view over one camera of a native .epc cache:
+    supports ``.shape`` and integer/slice indexing, decoding only the
+    requested frames (GIL-free threaded JPEG, or memcpy for codec=raw)."""
+
+    def __init__(self, cache, cam: int):
+        self._cache = cache
+        self._cam = cam
+        self.shape = (cache.T, cache.H, cache.W, 3)
+
+    def __len__(self):
+        return self.shape[0]
+
+    def __getitem__(self, idx):
+        if isinstance(idx, (int, np.integer)):
+            return self._cache.decode_frames(self._cam, int(idx), 1)[0]
+        start, stop, step = idx.indices(self.shape[0])
+        if step != 1:
+            raise IndexError("only contiguous slices supported")
+        return self._cache.decode_frames(self._cam, start,
+                                         max(stop - start, 0))
+
+    def __array__(self, dtype=None):
+        out = self._cache.decode_frames(self._cam, 0, self.shape[0])
+        return out if dtype is None else out.astype(dtype)
+
+
 class EpisodeFile:
-    """Uniform read access over h5 and npz episodes (≙ the reference's
-    ``UnifiedDataInterface``, unified_vla_dataset_episode.py:98-172).
+    """Uniform read access over h5, npz and native ``.epc`` episodes (≙ the
+    reference's ``UnifiedDataInterface``,
+    unified_vla_dataset_episode.py:98-172).
 
     npz layout flattens the h5 groups: ``camera1/camera1`` becomes
     ``camera1_images`` and ``gelsight_force/forces`` becomes
     ``gelsight_forces`` (the reference's npz key conventions).
+
+    ``.epc`` (``runtime/native_loader.py``) is served by the mmap'd C++
+    cache: numeric windows come back as copies, camera keys as lazy
+    :class:`_EpcFrames` views (frames decode on slice, off the GIL).
     """
 
     _NPZ_ALIASES = {
@@ -82,11 +114,16 @@ class EpisodeFile:
 
     def __init__(self, path: str):
         self.path = path
-        self.is_h5 = not path.endswith(".npz")
+        self.is_epc = path.endswith(".epc")
+        self.is_h5 = not (path.endswith(".npz") or self.is_epc)
         self._f = None
 
     def __enter__(self):
-        if self.is_h5:
+        if self.is_epc:
+            from vla_touch_tpu.runtime.native_loader import EpisodeCache
+
+            self._f = EpisodeCache(self.path)
+        elif self.is_h5:
             import h5py
 
             self._f = h5py.File(self.path, "r")
@@ -101,12 +138,49 @@ class EpisodeFile:
         return False
 
     def __contains__(self, key: str) -> bool:
+        if self.is_epc:
+            c = self._f
+            avail = {"qpos", "gelsight_force/forces",
+                     "gelsight_force/displacement"}
+            if c.has_raw_pose:
+                avail |= {"ee_poses", "gripper_pos"}
+            if c.lang_len:
+                avail.add("instruct_embeddings")
+            if c.has_vla:
+                avail.add("vla_action")
+            for i in range(c.n_cams):
+                avail.add(f"camera{i + 1}/camera{i + 1}")
+            return key in avail
         if self.is_h5:
             return key in self._f
         return self._NPZ_ALIASES.get(key, key) in self._f.files
 
+    def _get_epc(self, key: str):
+        c = self._f
+        if key == "ee_poses":
+            return c.read_raw_pose()[0]
+        if key == "gripper_pos":
+            return c.read_raw_pose()[1]
+        if key == "qpos":
+            return c.read_window(0, c.T)["qpos"]
+        if key == "instruct_embeddings":
+            return c.read_lang()[None]          # h5 shape (1, L, D)
+        if key == "gelsight_force/forces":
+            return c.read_window(0, c.T)["forces"]
+        if key == "gelsight_force/displacement":
+            return c.read_window(0, c.T)["disps"]
+        if key == "vla_action":
+            return np.stack([c.read_window(t, 1, vla_at=t)["vla"]
+                             for t in range(c.T)])
+        for i in range(c.n_cams):
+            if key == f"camera{i + 1}/camera{i + 1}":
+                return _EpcFrames(c, i)
+        raise KeyError(key)
+
     def get(self, key: str):
         """Fetch by h5-style key ('camera1/camera1', 'ee_poses', ...)."""
+        if self.is_epc:
+            return self._get_epc(key)
         if self.is_h5:
             node = self._f
             for part in key.split("/"):
@@ -121,6 +195,10 @@ def qpos_from_episode(f) -> np.ndarray:
     """[ee_pos(3), ortho6d(6), raw gripper(1)] (T, 10)
     (``unified_vla_dataset_episode.py:76-96``). Gripper stays on the raw
     0..255 scale; consumers rescale per their own convention."""
+    if "ee_poses" not in f and "qpos" in f:
+        # .epc caches packed without raw poses (v1): the f32 qpos is the
+        # only state record (documented precision deviation vs h5's f64).
+        return np.asarray(f["qpos"], np.float64)
     ee = np.asarray(f["ee_poses"], np.float64)
     pos, quat = ee[:, :3], ee[:, 3:7]
     o6 = np.asarray(quaternion_to_ortho6d(quat), np.float64)

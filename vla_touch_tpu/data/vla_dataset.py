@@ -46,10 +46,12 @@ class UnifiedVLADataset:
         self.dataset_name = dataset_name or cfg.dataset_names[0]
         if file_paths is None:
             import os
+            pattern = ((".epc",) if getattr(cfg, "data_format", "h5") == "epc"
+                       else (".h5", ".npz"))
             file_paths = list_episode_files(
                 os.path.join(cfg.data_root,
                              f"{self.dataset_name}_hdf5_gelsight"),
-                pattern=(".h5", ".npz"))
+                pattern=pattern)
         self.file_paths = list(file_paths)
         self.rng = np.random.default_rng(seed)
 

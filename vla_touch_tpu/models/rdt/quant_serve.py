@@ -32,8 +32,29 @@ from vla_touch_tpu.ops.quant import (
     qdense, qdense_any, quantize_linear, quantize_tree, quantize_tree_w4)
 
 
+def make_w4_select(blocks=None, kinds=("fc1", "fc2", "qkv", "proj", "q")):
+    """Predicate for ``quantize_rdt_params(weights='mixed')``: int4 on the
+    named matmul classes of the named transformer blocks, int8 elsewhere.
+
+    ``blocks`` — iterable of block indices (None = every block);
+    ``kinds`` — leaf names among fc1/fc2 (the ffn, 57% of streamed bytes),
+    qkv (21%), proj (both self- and cross-attn output proj) and q.
+    Adaptors and the final head never match (they stay int8 — the VERDICT
+    recipe: keep adaptors/final at 8 bits)."""
+    blockset = None if blocks is None else {f"block{i}" for i in blocks}
+
+    def sel(path, leaf):
+        if not any(p.startswith("block") for p in path):
+            return False
+        if blockset is not None and not any(p in blockset for p in path):
+            return False
+        return path[-1] in kinds
+
+    return sel
+
+
 def quantize_rdt_params(params: dict, weights: str = "int8",
-                        kv_proj: str = "bf16") -> dict:
+                        kv_proj: str = "bf16", w4_select=None) -> dict:
     """Quantize every 2-D Dense in the runner tree except:
 
     - the tiny timestep embedders (1-token inputs; scales matter for
@@ -55,11 +76,21 @@ def quantize_rdt_params(params: dict, weights: str = "int8",
     every step) are the weight-streaming-bound part and get a8w8 int8.
 
     ``weights='int4'`` stores them group-wise int4 instead (half the int8
-    bytes again; ``ops/quant.py::quantize_linear_w4`` layout).  Group-max
-    int4 carries ~12% per-matmul weight error — far above the int8 path's
-    ~1% — so it does NOT meet the bench parity gate (chunk corr > 0.999);
-    it is the standard w4 serving trade (GPTQ/AWQ-class) offered for
-    throughput-over-fidelity deployments, with the error measured in tests.
+    bytes again; ``ops/quant.py::quantize_linear_w4`` layout, MSE clip
+    search on the group scales).  Even with clip search, 4-bit uniform
+    quantization of Gaussian-class weights carries ~11% per-matmul weight
+    error — an order above the int8 path's ~1% — so all-int4 does NOT meet
+    the bench parity gate (chunk corr > 0.999); it is the standard w4
+    serving trade (GPTQ/AWQ-class) offered for throughput-over-fidelity
+    deployments, with the error measured in tests.
+
+    ``weights='mixed'`` + ``w4_select(path, leaf) -> bool`` is the
+    mixed-precision recipe between the two: int4 on the leaves the
+    predicate picks, int8 on the rest (adaptors, embedders and kv stay
+    int8/bf16 regardless).  :func:`make_w4_select` builds per-block /
+    per-matmul-class predicates for the sensitivity sweep
+    (``tools/bench_rdt_tiers.py`` measures the chunk-corr cost of each
+    class on-chip).
     """
     def should(path, leaf):
         if any("embedder" in p for p in path):
@@ -69,6 +100,10 @@ def quantize_rdt_params(params: dict, weights: str = "int8",
 
     if weights == "int4":
         q = quantize_tree_w4(params, should)
+    elif weights == "mixed":
+        if w4_select is None:
+            raise ValueError("weights='mixed' needs w4_select")
+        q = quantize_tree_w4(params, should, w4_select=w4_select)
     else:
         assert weights == "int8", weights
         q = quantize_tree(params, should)

@@ -9,16 +9,26 @@
 // JPEG decode, so the Python layer only hands out zero-copy numpy views and
 // the TPU feed never stalls on the GIL.
 //
-// File layout (little-endian):
-//   header:   magic 'EPC1' | u32 T | u32 n_cams | u32 H | u32 W
+// File layout (little-endian), version 2 ('EPC2'; v1 'EPC1' still readable):
+//   header:   magic 'EPC2' | u32 T | u32 n_cams | u32 H | u32 W
 //             | u32 state_dim | u32 force_dim | u32 disp_dim
 //             | u32 chunk (vla) | u32 has_vla
+//             | u32 lang_len | u32 lang_dim | u32 codec | u32 has_raw_pose
 //   qpos:     T * state_dim f32
 //   forces:   T * force_dim f32
 //   disps:    T * disp_dim  f32
 //   vla:      T * chunk * state_dim f32           (if has_vla)
-//   offsets:  n_cams * (T+1) u64   (byte offsets of jpeg blobs, end-relative)
-//   blobs:    concatenated jpeg bytes
+//   ee_poses: T * 7 f64                           (if has_raw_pose)
+//   gripper:  T f64                               (if has_raw_pose)
+//   lang:     lang_len * lang_dim f32             (precomputed T5 embedding)
+//   offsets:  n_cams * (T+1) u64   (byte offsets of frame blobs)
+//   blobs:    concatenated frame bytes (codec 0 = JPEG, 1 = raw RGB H*W*3)
+//
+// v2 additions serve the training adoption: lang embeddings make .epc a
+// complete UnifiedVLADataset source; raw f64 poses keep the h5 and epc
+// sample paths byte-identical (qpos is derived in f64 from ee_poses); the
+// raw-frame codec gives a lossless option (mmap'd memcpy, no decode) where
+// JPEG round-trip parity is not wanted.
 //
 // C API (ctypes-friendly): all functions return 0 on success.
 
@@ -38,11 +48,19 @@
 
 namespace {
 
+struct HeaderV1 {
+  char magic[4];
+  uint32_t T, n_cams, H, W;
+  uint32_t state_dim, force_dim, disp_dim;
+  uint32_t chunk, has_vla;
+};
+
 struct Header {
   char magic[4];
   uint32_t T, n_cams, H, W;
   uint32_t state_dim, force_dim, disp_dim;
   uint32_t chunk, has_vla;
+  uint32_t lang_len, lang_dim, codec, has_raw_pose;
 };
 
 struct Cache {
@@ -54,6 +72,9 @@ struct Cache {
   const float* forces = nullptr;
   const float* disps = nullptr;
   const float* vla = nullptr;
+  const uint8_t* ee_poses = nullptr;  // f64, may be unaligned -> memcpy out
+  const uint8_t* gripper = nullptr;   // f64
+  const float* lang = nullptr;
   // Offsets are memcpy'd out of the mmap at open time: the table's file
   // position is only 4-byte aligned when the forces section is 12*T bytes,
   // and dereferencing a misaligned uint64_t* is UB.
@@ -119,12 +140,21 @@ void* ec_open(const char* path) {
   c->fd = fd;
   c->base = static_cast<const uint8_t*>(base);
   c->size = st.st_size;
-  std::memcpy(&c->hdr, c->base, sizeof(Header));
-  if (std::memcmp(c->hdr.magic, "EPC1", 4) != 0) {
+  size_t hdr_size;
+  if (std::memcmp(c->base, "EPC2", 4) == 0) {
+    std::memcpy(&c->hdr, c->base, sizeof(Header));
+    hdr_size = sizeof(Header);
+  } else if (std::memcmp(c->base, "EPC1", 4) == 0) {
+    HeaderV1 h1;
+    std::memcpy(&h1, c->base, sizeof(HeaderV1));
+    std::memset(&c->hdr, 0, sizeof(Header));
+    std::memcpy(&c->hdr, &h1, sizeof(HeaderV1));  // v2 extras stay 0
+    hdr_size = sizeof(HeaderV1);
+  } else {
     munmap(base, st.st_size); ::close(fd); delete c; return nullptr;
   }
   const Header& h = c->hdr;
-  const uint8_t* p = c->base + sizeof(Header);
+  const uint8_t* p = c->base + hdr_size;
   c->qpos = reinterpret_cast<const float*>(p);
   p += size_t(h.T) * h.state_dim * 4;
   c->forces = reinterpret_cast<const float*>(p);
@@ -134,6 +164,16 @@ void* ec_open(const char* path) {
   if (h.has_vla) {
     c->vla = reinterpret_cast<const float*>(p);
     p += size_t(h.T) * h.chunk * h.state_dim * 4;
+  }
+  if (h.has_raw_pose) {
+    c->ee_poses = p;                      // f64, possibly 4-aligned only
+    p += size_t(h.T) * 7 * 8;
+    c->gripper = p;
+    p += size_t(h.T) * 8;
+  }
+  if (h.lang_len) {
+    c->lang = reinterpret_cast<const float*>(p);
+    p += size_t(h.lang_len) * h.lang_dim * 4;
   }
   size_t n_offsets = size_t(h.n_cams) * (h.T + 1);
   c->offsets.resize(n_offsets);
@@ -151,13 +191,37 @@ void ec_close(void* handle) {
   delete c;
 }
 
-int ec_info(void* handle, uint32_t* out /* T,n_cams,H,W,state,force,disp,chunk,has_vla */) {
+int ec_info(void* handle,
+            uint32_t* out /* T,n_cams,H,W,state,force,disp,chunk,has_vla,
+                             lang_len,lang_dim,codec,has_raw_pose */) {
   auto* c = static_cast<Cache*>(handle);
   if (!c) return 1;
   const Header& h = c->hdr;
-  uint32_t v[9] = {h.T, h.n_cams, h.H, h.W, h.state_dim, h.force_dim,
-                   h.disp_dim, h.chunk, h.has_vla};
+  uint32_t v[13] = {h.T, h.n_cams, h.H, h.W, h.state_dim, h.force_dim,
+                    h.disp_dim, h.chunk, h.has_vla,
+                    h.lang_len, h.lang_dim, h.codec, h.has_raw_pose};
   std::memcpy(out, v, sizeof(v));
+  return 0;
+}
+
+// Copy the precomputed language embedding (lang_len * lang_dim f32).
+int ec_read_lang(void* handle, float* out) {
+  auto* c = static_cast<Cache*>(handle);
+  if (!c || !c->lang) return 1;
+  std::memcpy(out, c->lang,
+              size_t(c->hdr.lang_len) * c->hdr.lang_dim * 4);
+  return 0;
+}
+
+// Copy the raw f64 pose sections: ee (T*7), gripper (T).  Either output
+// may be null to skip.
+int ec_read_raw_pose(void* handle, double* out_ee, double* out_grip) {
+  auto* c = static_cast<Cache*>(handle);
+  if (!c || !c->ee_poses) return 1;
+  if (out_ee)
+    std::memcpy(out_ee, c->ee_poses, size_t(c->hdr.T) * 7 * 8);
+  if (out_grip)
+    std::memcpy(out_grip, c->gripper, size_t(c->hdr.T) * 8);
   return 0;
 }
 
@@ -209,8 +273,13 @@ int ec_decode_frames(void* handle, uint32_t cam, uint32_t start,
       uint32_t t = start + i;
       const uint8_t* blob = c->blobs + offs[t];
       size_t len = offs[t + 1] - offs[t];
-      if (decode_one(blob, len, out + size_t(i) * frame_bytes, h.H, h.W))
+      if (h.codec == 1) {  // raw RGB: lossless, mmap'd memcpy
+        if (len != frame_bytes) { fail.store(1); continue; }
+        std::memcpy(out + size_t(i) * frame_bytes, blob, frame_bytes);
+      } else if (decode_one(blob, len, out + size_t(i) * frame_bytes,
+                            h.H, h.W)) {
         fail.store(1);
+      }
     }
   };
 

@@ -25,7 +25,7 @@ _SRC = os.path.join(os.path.dirname(__file__), "native", "episode_cache.cpp")
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "native",
                          "libepisode_cache.so")
 
-_MAGIC = b"EPC1"
+_MAGIC = b"EPC2"
 
 
 def build_library(force: bool = False) -> str:
@@ -57,19 +57,31 @@ def _get_lib():
         lib.ec_decode_frames.argtypes = [
             ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
             ctypes.c_uint32, ctypes.c_void_p, ctypes.c_int]
+        lib.ec_read_lang.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.ec_read_raw_pose.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
     return _lib
 
 
 def pack_episode(h5_path: str, out_path: str, jpeg_quality: int = 90,
-                 use_resized: bool = False) -> str:
-    """h5 episode -> .epc cache.  Cameras: camera1/camera2 (raw) or the
-    *_resized variants."""
+                 use_resized: bool = False, codec: str = "jpeg") -> str:
+    """h5 episode -> .epc cache (v2).  Cameras: camera1/camera2 (raw) or
+    the *_resized variants.
+
+    ``codec='jpeg'`` re-encodes frames (small files, bakes in the JPEG
+    round-trip the deployment loop applies anyway —
+    ``frank_inference_eef.py:84-87``); ``codec='raw'`` stores frames
+    losslessly, making the .epc training path byte-identical to the h5
+    path (the adoption gate, tests/test_native_loader.py).  v2 also packs
+    the precomputed T5 embedding and the raw f64 ee_poses/gripper (qpos is
+    derived in f64 downstream, so f32 qpos alone would break parity)."""
     import cv2
     import h5py
 
     from vla_touch_tpu.data.episode import qpos_from_episode
 
+    assert codec in ("jpeg", "raw"), codec
     with h5py.File(h5_path, "r") as f:
         qpos = qpos_from_episode(f).astype(np.float32)
         T = qpos.shape[0]
@@ -79,6 +91,14 @@ def pack_episode(h5_path: str, out_path: str, jpeg_quality: int = 90,
         vla = (np.asarray(f["vla_action"], np.float32) if has_vla
                else np.zeros((0,), np.float32))
         chunk = int(vla.shape[1]) if has_vla else 0
+        has_raw_pose = "ee_poses" in f and "gripper_pos" in f
+        if has_raw_pose:
+            ee = np.asarray(f["ee_poses"], np.float64)[:, :7]
+            grip = np.asarray(f["gripper_pos"], np.float64).reshape(-1)
+        lang = (np.asarray(f["instruct_embeddings"], np.float32)
+                if "instruct_embeddings" in f else None)
+        if lang is not None and lang.ndim == 3:
+            lang = lang[0]
         cam_keys = (["camera1_resized", "camera2_resized"] if use_resized
                     else ["camera1", "camera2"])
         cams = []
@@ -92,20 +112,27 @@ def pack_episode(h5_path: str, out_path: str, jpeg_quality: int = 90,
     total = 0
     for ci, frames in enumerate(cams):
         for t in range(T):
-            ok, enc = cv2.imencode(
-                ".jpg", frames[t][:, :, ::-1],  # RGB->BGR for cv2
-                [cv2.IMWRITE_JPEG_QUALITY, jpeg_quality])
-            assert ok
-            blobs.append(enc.tobytes())
+            if codec == "raw":
+                blobs.append(np.ascontiguousarray(
+                    frames[t], dtype=np.uint8).tobytes())
+            else:
+                ok, enc = cv2.imencode(
+                    ".jpg", frames[t][:, :, ::-1],  # RGB->BGR for cv2
+                    [cv2.IMWRITE_JPEG_QUALITY, jpeg_quality])
+                assert ok
+                blobs.append(enc.tobytes())
             offsets[ci, t] = total
             total += len(blobs[-1])
         offsets[ci, T] = total
     # Offsets are into the concatenated blob stream; make them per-camera
     # absolute (they already are: we accumulate across cameras).
 
-    hdr = np.zeros(9, np.uint32)
+    hdr = np.zeros(13, np.uint32)
     hdr[:] = [T, len(cams), H, W, qpos.shape[1], forces.shape[1],
-              disps.shape[1], chunk, int(has_vla)]
+              disps.shape[1], chunk, int(has_vla),
+              0 if lang is None else lang.shape[0],
+              0 if lang is None else lang.shape[1],
+              1 if codec == "raw" else 0, int(has_raw_pose)]
     with open(out_path, "wb") as out:
         out.write(_MAGIC)
         out.write(hdr.tobytes())
@@ -114,6 +141,11 @@ def pack_episode(h5_path: str, out_path: str, jpeg_quality: int = 90,
         out.write(disps.tobytes())
         if has_vla:
             out.write(vla.tobytes())
+        if has_raw_pose:
+            out.write(np.ascontiguousarray(ee).tobytes())
+            out.write(np.ascontiguousarray(grip).tobytes())
+        if lang is not None:
+            out.write(np.ascontiguousarray(lang).tobytes())
         out.write(offsets.tobytes())
         for b in blobs:
             out.write(b)
@@ -128,10 +160,11 @@ class EpisodeCache:
         self._h = self._lib.ec_open(path.encode())
         if not self._h:
             raise IOError(f"failed to open episode cache: {path}")
-        info = np.zeros(9, np.uint32)
+        info = np.zeros(13, np.uint32)
         self._lib.ec_info(self._h, info.ctypes.data_as(ctypes.c_void_p))
         (self.T, self.n_cams, self.H, self.W, self.state_dim,
-         self.force_dim, self.disp_dim, self.chunk, self.has_vla) = (
+         self.force_dim, self.disp_dim, self.chunk, self.has_vla,
+         self.lang_len, self.lang_dim, self.codec, self.has_raw_pose) = (
             int(x) for x in info)
 
     def close(self):
@@ -175,3 +208,27 @@ class EpisodeCache:
         if rc:
             raise IOError(f"ec_decode_frames failed rc={rc}")
         return out
+
+    def read_lang(self) -> Optional[np.ndarray]:
+        """Precomputed T5 embedding (lang_len, lang_dim) f32, or None."""
+        if not self.lang_len:
+            return None
+        out = np.empty((self.lang_len, self.lang_dim), np.float32)
+        rc = self._lib.ec_read_lang(self._h,
+                                    out.ctypes.data_as(ctypes.c_void_p))
+        if rc:
+            raise IOError(f"ec_read_lang failed rc={rc}")
+        return out
+
+    def read_raw_pose(self):
+        """(ee_poses (T, 7) f64, gripper (T,) f64), or None if not packed."""
+        if not self.has_raw_pose:
+            return None
+        ee = np.empty((self.T, 7), np.float64)
+        grip = np.empty((self.T,), np.float64)
+        rc = self._lib.ec_read_raw_pose(
+            self._h, ee.ctypes.data_as(ctypes.c_void_p),
+            grip.ctypes.data_as(ctypes.c_void_p))
+        if rc:
+            raise IOError(f"ec_read_raw_pose failed rc={rc}")
+        return ee, grip

@@ -432,6 +432,10 @@ def main(argv=None):
     p.add_argument("--load_from_hdf5", action="store_true",
                    help="accepted for script compat; episode h5 is already "
                         "the native path here")
+    p.add_argument("--data_format", default="h5", choices=("h5", "epc"),
+                   help="'epc' trains from the native mmap'd episode cache "
+                        "(GIL-free threaded JPEG decode; pack once with "
+                        "python -m vla_touch_tpu.data.pack_epc)")
     p.add_argument("--cond_mask_prob", type=float, default=0.1)
     p.add_argument("--cam_ext_mask_prob", type=float, default=-1.0)
     p.add_argument("--state_noise_snr", type=float, default=None)
@@ -577,7 +581,8 @@ def main(argv=None):
                       cam_ext_mask_prob=args.cam_ext_mask_prob,
                       state_noise_snr=args.state_noise_snr,
                       image_aug=args.image_aug,
-                      chunk_size=model_cfg.horizon)
+                      chunk_size=model_cfg.horizon,
+                      data_format=args.data_format)
     logging.basicConfig(level=logging.INFO)
     trainer = RDTTrainer(rcfg, tcfg, dcfg, args.output_dir)
     init_params = None
