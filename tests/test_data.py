@@ -162,3 +162,89 @@ def test_npz_episode_support(tmp_path):
     t_npz = ds.get_item(index=0, state_only=True)["state"]
     t_h5 = ds_h5.get_item(index=0, state_only=True)["state"]
     np.testing.assert_allclose(t_npz, t_h5, atol=1e-12)
+
+
+def test_image_corrupt_noise_moments():
+    """Pin the noise stage's moment statistics to the imgaug contract
+    (``/root/reference/VLA/train/image_corrupt.py:11-44``): gaussian and
+    laplace are zero-mean with std <= U(0, 12.75)-class magnitudes; the
+    additive Poisson op BRIGHTENS by ~lam (imgaug adds Poisson(lam)
+    samples, it does not resample pixels)."""
+    from vla_touch_tpu.data.consumer import _additive_noise
+
+    base = np.full((64, 64, 3), 128, np.uint8)
+    rng = np.random.default_rng(0)
+    # analytic population stds with scale/lam ~ U(0, 12.75):
+    #   gaussian: sqrt(E[scale^2]) = 12.75/sqrt(3) ~ 7.36
+    #   laplace:  sqrt(2)x gaussian ~ 10.4
+    #   poisson:  sqrt(E[lam] + Var(lam)) = sqrt(6.375 + 13.55) ~ 4.46
+    bands = {"gaussian": (5.5, 9.5), "laplace": (8.0, 13.0),
+             "poisson": (3.3, 5.8)}
+    for kind, brighten in [("gaussian", False), ("laplace", False),
+                           ("poisson", True)]:
+        deltas = []
+        for _ in range(200):
+            out = _additive_noise(base, rng, kind)
+            deltas.append(out.astype(np.float32) - 128.0)
+        d = np.stack(deltas)
+        mean, std = d.mean(), d.std()
+        if brighten:
+            # E[lam] = 12.75/2; Poisson adds its own mean
+            assert 4.0 < mean < 9.0, mean
+        else:
+            assert abs(mean) < 0.5, (kind, mean)
+        lo, hi = bands[kind]
+        assert lo < std < hi, (kind, std)
+
+
+def test_image_corrupt_laplace_has_heavy_tails():
+    """Laplace noise (missing from the pre-r4 op set) is distinguishable:
+    excess kurtosis ~3 vs 0 for gaussian at equal scale."""
+    from vla_touch_tpu.data.consumer import _additive_noise
+
+    base = np.full((128, 128, 3), 128, np.uint8)
+
+    def kurt(kind, seed):
+        rng = np.random.default_rng(seed)
+        ds = []
+        for _ in range(50):
+            d = _additive_noise(base, rng, kind).astype(np.float32) - 128.0
+            s = d.std()
+            if s > 3.0:          # skip near-zero-scale draws
+                ds.append((d / s).ravel())
+        x = np.concatenate(ds)
+        return (x**4).mean() - 3.0
+
+    assert kurt("laplace", 1) > kurt("gaussian", 1) + 1.0
+
+
+def test_image_corrupt_blur_inventory_and_smoothing():
+    """Each blur family smooths (variance of a noise image must drop) and
+    runs with the reference's kernel ranges without error."""
+    from vla_touch_tpu.data.consumer import _blur
+
+    rng = np.random.default_rng(0)
+    noisy = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    v0 = noisy.astype(np.float32).var()
+    for kind in ("gaussian", "average", "median", "motion"):
+        # a zero-sigma gaussian draw may no-op; find a smoothing draw
+        for seed in range(5):
+            out = _blur(noisy, np.random.default_rng(seed + 1), kind)
+            if out.astype(np.float32).var() < 0.9 * v0:
+                break
+        else:
+            raise AssertionError(f"{kind} blur never smoothed")
+
+
+def test_image_corrupt_pipeline_shape_dtype_and_order():
+    """End-to-end: output is uint8 same-shape; with a fixed seed the
+    pipeline is deterministic; the blur stage is skipped ~half the time
+    (SomeOf((0,1)) semantics)."""
+    from vla_touch_tpu.data.consumer import image_corrupt
+
+    img = np.random.default_rng(0).integers(0, 256, (48, 48, 3)).astype(np.uint8)
+    out1 = image_corrupt(img, np.random.default_rng(7))
+    out2 = image_corrupt(img, np.random.default_rng(7))
+    assert out1.dtype == np.uint8 and out1.shape == img.shape
+    np.testing.assert_array_equal(out1, out2)
+    assert not np.array_equal(out1, img)  # noise always runs

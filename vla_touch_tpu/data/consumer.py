@@ -33,28 +33,95 @@ _SIGLIP_MEAN = 0.5
 _BG_VALUE = int(0.5 * 255)
 
 
-def image_corrupt(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Noise + blur corruption (≙ ``train/image_corrupt.py:11-44``'s imgaug
-    pipeline: gaussian/poisson noise and (motion) blur in random order)."""
+_NOISE_SCALE_MAX = 0.05 * 255        # imgaug scale/lam upper bound (12.75)
+
+
+def _additive_noise(img: np.ndarray, rng: np.random.Generator,
+                    kind: str) -> np.ndarray:
+    """One imgaug Additive*Noise op: scale/lam ~ U(0, 12.75) per image,
+    per_channel with prob 0.5 (otherwise one plane broadcast over RGB),
+    result clipped to uint8 per op (imgaug clips after every augmenter)."""
+    scale = rng.uniform(0.0, _NOISE_SCALE_MAX)
+    shape = img.shape if rng.random() < 0.5 else img.shape[:2] + (1,)
+    if kind == "gaussian":
+        noise = rng.normal(0.0, max(scale, 1e-12), shape)
+    elif kind == "laplace":
+        noise = rng.laplace(0.0, max(scale, 1e-12), shape)
+    else:  # poisson: ADDITIVE Poisson(lam) samples — brightens by ~lam
+        noise = rng.poisson(scale, shape).astype(np.float32)
+    out = img.astype(np.float32) + noise
+    # round, don't truncate: a float->uint8 cast floors, biasing the noise
+    # mean by -0.5 (imgaug rounds)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _blur(img: np.ndarray, rng: np.random.Generator, kind: str) -> np.ndarray:
+    """One imgaug blur op with the reference's parameter ranges."""
     import cv2
 
-    out = img.astype(np.float32)
-    ops = ["gauss_noise", "poisson", "blur", "motion_blur"]
-    rng.shuffle(ops)
-    for op in ops[: rng.integers(1, 3)]:
-        if op == "gauss_noise":
-            out = out + rng.normal(0, rng.uniform(4, 12), out.shape)
-        elif op == "poisson":
-            out = rng.poisson(np.clip(out, 0, 255)).astype(np.float32)
-        elif op == "blur":
-            k = int(rng.choice([3, 5]))
-            out = cv2.GaussianBlur(out, (k, k), 0)
-        elif op == "motion_blur":
-            k = int(rng.choice([3, 5]))
-            kernel = np.zeros((k, k), np.float32)
-            kernel[k // 2, :] = 1.0 / k
-            out = cv2.filter2D(out, -1, kernel)
-    return np.clip(out, 0, 255).astype(np.uint8)
+    if kind == "gaussian":
+        sigma = rng.uniform(0.0, 3.0)
+        if sigma < 1e-3:
+            return img
+        return cv2.GaussianBlur(img, (0, 0), sigma)
+    if kind == "average":
+        k = int(rng.integers(2, 8))
+        return cv2.blur(img, (k, k))
+    if kind == "median":
+        k = int(rng.choice([3, 5, 7, 9, 11]))
+        return cv2.medianBlur(img, k)
+    # motion: k in {3..36}, random angle; line kernel through the center
+    k = int(rng.integers(3, 37))
+    angle = rng.uniform(0.0, 360.0)
+    kernel = np.zeros((k, k), np.float32)
+    c = (k - 1) / 2.0
+    dx, dy = np.cos(np.deg2rad(angle)), np.sin(np.deg2rad(angle))
+    for t in np.linspace(-c, c, 2 * k):
+        x, y = int(round(c + t * dx)), int(round(c + t * dy))
+        if 0 <= x < k and 0 <= y < k:
+            kernel[y, x] = 1.0
+    kernel /= kernel.sum()
+    return cv2.filter2D(img, -1, kernel)
+
+
+def image_corrupt(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """The reference's exact imgaug op inventory
+    (``/root/reference/VLA/train/image_corrupt.py:11-44``)::
+
+        Sequential(random_order=True)[
+          OneOf[AdditiveGaussianNoise(scale=U(0, .05*255), per_channel=.5),
+                AdditiveLaplaceNoise(scale=same, per_channel=.5),
+                AdditivePoissonNoise(lam=same, per_channel=.5)],
+          SomeOf((0, 1))[OneOf[GaussianBlur(sigma=U(0, 3)),
+                               AverageBlur(k=U{2..7}),
+                               MedianBlur(k=odd{3..11})],
+                         MotionBlur(k=U{3..36})]]
+
+    numpy/cv2 implementation (imgaug is not vendored): one noise op always
+    runs; a blur stage runs with prob 1/2 and is then the classic-blur
+    OneOf or motion blur with equal odds; the two stages execute in random
+    order.  Moment statistics per op are pinned in
+    ``tests/test_data.py::test_image_corrupt_*``."""
+    def noise_stage(x):
+        kind = ("gaussian", "laplace", "poisson")[int(rng.integers(0, 3))]
+        return _additive_noise(x, rng, kind)
+
+    def blur_stage(x):
+        if rng.integers(0, 2) == 0:          # SomeOf((0,1)): none
+            return x
+        if rng.integers(0, 2) == 0:          # OneOf classic blurs
+            kind = ("gaussian", "average", "median")[int(rng.integers(0, 3))]
+        else:
+            kind = "motion"
+        return _blur(x, rng, kind)
+
+    stages = [noise_stage, blur_stage]
+    if rng.random() < 0.5:                   # random_order=True
+        stages.reverse()
+    out = img
+    for stage in stages:
+        out = stage(out)
+    return out
 
 
 def color_jitter(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
