@@ -110,6 +110,38 @@ def qwen2_5_7b():
         dump("qwen2_5_7b", Qwen2ForCausalLM(cfg))
 
 
+def qwen2_vl_7b():
+    from transformers import Qwen2VLConfig
+    from transformers.models.qwen2_vl.modeling_qwen2_vl import (
+        Qwen2VLForConditionalGeneration)
+
+    cfg = Qwen2VLConfig(
+        hidden_size=3584, intermediate_size=18944, num_hidden_layers=28,
+        num_attention_heads=28, num_key_value_heads=4, vocab_size=152064,
+        max_position_embeddings=32768, tie_word_embeddings=False,
+        rope_theta=1000000.0,
+        rope_scaling={"type": "mrope", "mrope_section": [16, 24, 24]},
+        vision_config=dict(depth=32, embed_dim=1280, num_heads=16,
+                           mlp_ratio=4, patch_size=14,
+                           temporal_patch_size=2, spatial_merge_size=2,
+                           hidden_size=3584, in_channels=3))
+    with torch.device("meta"):
+        model = Qwen2VLForConditionalGeneration(cfg)
+    # transformers 4.5x renames attributes internally
+    # (model.language_model / model.visual); the hub checkpoint uses
+    # "model.layers.*" + "visual.*" — normalize to the on-disk convention
+    # the loaders consume.
+    man = {}
+    for k, v in model.state_dict().items():
+        k = k.replace("model.language_model.", "model.")
+        k = k.replace("model.visual.", "visual.")
+        man[k] = list(v.shape)
+    path = os.path.join(OUT, "qwen2_vl_7b.json")
+    with open(path, "w") as f:
+        json.dump(man, f, indent=0, sort_keys=True)
+    print(f"qwen2_vl_7b: {len(man)} keys -> {path}")
+
+
 def t5_v1_1_xxl():
     from transformers import T5Config, T5EncoderModel
 
@@ -127,4 +159,5 @@ if __name__ == "__main__":
     dinov2_small()
     clip_vit_b16()
     qwen2_5_7b()
+    qwen2_vl_7b()
     t5_v1_1_xxl()

@@ -85,34 +85,16 @@ def main():
     wsel = amask[0, 0].astype(bool)
     want_sel = want[:, :, np.asarray(wsel)].ravel()
 
-    def measure(fn, qp):
-        out = fn(qp, jax.random.PRNGKey(0), state128)
+    def one_rep(fn, qp, i):
+        """One timed rep: ITERS chained (sequentially dependent) ticks."""
+        t0 = time.perf_counter()
+        s = state128
+        for j in range(args.iters):
+            out = fn(qp, jax.random.PRNGKey(i * args.iters + j), s)
+            # true sequential dependence through the state token
+            s = state128 + (0.0 * out[:, :1, :]).astype(state128.dtype)
         np.asarray(out)
-        lat = []
-        for i in range(args.reps):
-            t0 = time.perf_counter()
-            s = state128
-            for j in range(args.iters):
-                out = fn(qp, jax.random.PRNGKey(i * args.iters + j), s)
-                # true sequential dependence through the state token
-                s = state128 + (0.0 * out[:, :1, :]).astype(state128.dtype)
-            np.asarray(out)
-            lat.append((time.perf_counter() - t0) * 1e3 / args.iters)
-        return float(np.percentile(lat, 50))
-
-    def run_tier(name, qp, kv_cache="bf16", matmul="xla"):
-        def fn(q, k, s):
-            return Q.rdt_predict_action_quant(
-                rcfg, q, k, lang, lang_mask, img, s, amask, freqs,
-                kv_cache=kv_cache, matmul=matmul, init_noise=noise0)
-        jfn = jax.jit(fn, static_argnames=())
-        got = np.asarray(jfn(qp, key, state128), np.float32)
-        got_sel = got[:, :, np.asarray(wsel)].ravel()
-        corr = float(np.corrcoef(want_sel, got_sel)[0, 1])
-        p50 = measure(jfn, qp)
-        print(json.dumps({"tier": name, "p50_ms": round(p50, 2),
-                          "chunk_corr": round(corr, 5)}), flush=True)
-        return p50, corr
+        return (time.perf_counter() - t0) * 1e3 / args.iters
 
     sel_ffn = Q.make_w4_select(kinds=("fc1", "fc2"))
     sel_ffn_qkv = Q.make_w4_select(kinds=("fc1", "fc2", "qkv"))
@@ -140,13 +122,44 @@ def main():
         "mix-ffn+kv8": (lambda p: Q.quantize_rdt_params(
             p, weights="mixed", kv_proj="int8", w4_select=sel_ffn),
             "bf16", "xla"),
+        "int8-pallas+kv8": (lambda p: Q.quantize_rdt_params(
+            p, kv_proj="int8"), "bf16", "pallas"),
+        "int4-pallas+kv8": (lambda p: Q.quantize_rdt_params(
+            p, weights="int4", kv_proj="int8"), "bf16", "pallas"),
     }
     names = [t for t in args.tiers.split(",") if t] or list(TIERS)
+
+    # Interleaved measurement: quantize + compile + corr-check every tier
+    # first, then round-robin the timed reps so slow drift in the
+    # tunnel/chip hits all tiers equally (sequential per-tier measurement
+    # showed +-3 ms ordering effects).
+    tiers = {}
     for name in names:
         quantizer, kv_cache, matmul = TIERS[name]
         qp = jax.jit(quantizer)(params)
-        run_tier(name, qp, kv_cache=kv_cache, matmul=matmul)
-        del qp
+
+        def fn(q, k, s, kv_cache=kv_cache, matmul=matmul):
+            return Q.rdt_predict_action_quant(
+                rcfg, q, k, lang, lang_mask, img, s, amask, freqs,
+                kv_cache=kv_cache, matmul=matmul, init_noise=noise0)
+        jfn = jax.jit(fn)
+        got = np.asarray(jfn(qp, key, state128), np.float32)
+        got_sel = got[:, :, np.asarray(wsel)].ravel()
+        corr = float(np.corrcoef(want_sel, got_sel)[0, 1])
+        tiers[name] = {"fn": jfn, "qp": qp, "corr": corr, "lat": []}
+        print(json.dumps({"tier": name, "compiled": True,
+                          "chunk_corr": round(corr, 5)}), flush=True)
+    for i in range(args.reps):
+        for name in names:
+            t = tiers[name]
+            t["lat"].append(one_rep(t["fn"], t["qp"], i))
+    for name in names:
+        t = tiers[name]
+        print(json.dumps({
+            "tier": name, "p50_ms": round(float(np.median(t["lat"])), 2),
+            "min_ms": round(float(np.min(t["lat"])), 2),
+            "chunk_corr": round(t["corr"], 5),
+            "lat_ms": [round(x, 1) for x in t["lat"]]}), flush=True)
 
 
 if __name__ == "__main__":

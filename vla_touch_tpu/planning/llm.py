@@ -51,6 +51,13 @@ class LLMConfig:
     rms_eps: float = 1e-6
     tie_embeddings: bool = True
     qkv_bias: bool = True              # Qwen2 convention
+    # Qwen2-VL multimodal rotary (M-RoPE): per-frequency-slot position
+    # component split (temporal, height, width) over head_dim//2 slots.
+    # None = standard RoPE.  With mrope set, 2-D (B, L) positions still
+    # mean standard RoPE (all three components equal — HF's behavior for
+    # pure text); pass (3, B, L) positions to rotate vision spans by their
+    # grid coordinates (planning/qwen2vl.py builds them).
+    mrope_section: Optional[tuple] = None
 
     @property
     def head_dim(self) -> int:
@@ -404,12 +411,28 @@ def _rmsnorm(x, w, eps):
     return (y * w).astype(x.dtype)
 
 
-def _rope(x, positions, theta):
-    """x (B, L, H, hd), positions (B, L) -> rotated (NEOX half-split)."""
+def _rope(x, positions, theta, mrope_section=None):
+    """x (B, L, H, hd), positions (B, L) -> rotated (NEOX half-split).
+
+    M-RoPE (Qwen2-VL): with ``positions`` (3, B, L) and ``mrope_section``
+    = (t, h, w) summing to hd//2, frequency slot i takes its angle from
+    the temporal/height/width position component its section assigns
+    (HF ``apply_multimodal_rotary_pos_emb``).  2-D positions fall back to
+    standard RoPE (equivalent to all three components equal)."""
     B, L, H, hd = x.shape
     half = hd // 2
     freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
-    ang = positions.astype(jnp.float32)[:, :, None] * freqs[None, None, :]
+    if positions.ndim == 3:
+        assert mrope_section is not None and sum(mrope_section) == half
+        ang3 = (positions.astype(jnp.float32)[:, :, :, None]
+                * freqs[None, None, None, :])        # (3, B, L, half)
+        pieces, lo = [], 0
+        for c, sec in enumerate(mrope_section):
+            pieces.append(ang3[c, :, :, lo:lo + sec])
+            lo += sec
+        ang = jnp.concatenate(pieces, axis=-1)       # (B, L, half)
+    else:
+        ang = positions.astype(jnp.float32)[:, :, None] * freqs[None, None, :]
     cos = jnp.cos(ang)[:, :, None, :]
     sin = jnp.sin(ang)[:, :, None, :]
     x1, x2 = x[..., :half], x[..., half:]
@@ -522,8 +545,8 @@ def _layer(cfg: LLMConfig, lp, x, positions, mask, lora, lscale,
     h = _rmsnorm(x, lp["input_norm"], cfg.rms_eps)
     lo = lora or {}
     q, k, v = _proj_qkv(cfg, lp, lo, lscale, h, B, L)
-    q = _rope(q, positions, cfg.rope_theta)
-    k = _rope(k, positions, cfg.rope_theta)
+    q = _rope(q, positions, cfg.rope_theta, cfg.mrope_section)
+    k = _rope(k, positions, cfg.rope_theta, cfg.mrope_section)
     if kv_in is not None:
         k = jnp.concatenate([kv_in[0], k], axis=1)
         v = jnp.concatenate([kv_in[1], v], axis=1)
@@ -622,7 +645,7 @@ def sequence_avg_surprisal(surprisals, lengths):
 def _generate_impl(cfg: LLMConfig, params: dict, prompt_embeds,
                    max_new_tokens: int, eos_id: int, lora: Optional[dict],
                    temperature: Optional[float], key,
-                   num_return_sequences: int):
+                   num_return_sequences: int, prompt_positions=None):
     """Shared decode loop: prompt pass + preallocated-KV ``lax.scan``.
 
     ``temperature is None`` → greedy argmax (``key`` unused); otherwise
@@ -630,6 +653,12 @@ def _generate_impl(cfg: LLMConfig, params: dict, prompt_embeds,
     tiles the prompt-pass KV cache N× (the prompt forward runs ONCE at B —
     the reference's HF ``generate`` expands the inputs and pays the prompt
     N times) so rows [b*N, (b+1)*N) are independent samples of input b.
+
+    ``prompt_positions`` ((B, Lp) or M-RoPE (3, B, Lp)) rotates the prompt
+    by explicit positions (vision splices, ``planning/qwen2vl.py``);
+    decode then continues at max(position)+1 per row with all components
+    equal — HF ``get_rope_index`` decode semantics (for multimodal
+    prompts that offset is SMALLER than the prompt length).
 
     Returns (tokens (B*N, T), entropies, surprisals, lengths)."""
     B, Lp, D = prompt_embeds.shape
@@ -645,7 +674,13 @@ def _generate_impl(cfg: LLMConfig, params: dict, prompt_embeds,
 
     # Prompt pass (at B; samples share it)
     hidden, kvs = llm_forward(cfg, params, prompt_embeds, lora=lora,
-                              return_kv=True)
+                              positions=prompt_positions, return_kv=True)
+    if prompt_positions is None:
+        pos_start = jnp.full((B,), Lp, jnp.int32)
+    else:
+        pp = prompt_positions
+        pos_start = (jnp.max(pp, axis=(0, 2)) if pp.ndim == 3
+                     else jnp.max(pp, axis=1)).astype(jnp.int32) + 1
     logits0 = lm_logits(cfg, params, hidden[:, -1])
     if N > 1:
         logits0 = jnp.repeat(logits0, N, axis=0)
@@ -671,6 +706,9 @@ def _generate_impl(cfg: LLMConfig, params: dict, prompt_embeds,
 
     cache = [grow(kv) for kv in kvs]
     kv_len0 = jnp.full((BN,), Lp, jnp.int32)
+    if N > 1:
+        pos_start = jnp.repeat(pos_start, N, axis=0)
+    rope_delta = pos_start - Lp                    # decode pos = kv_len + Δ
 
     lscale = (lora or {}).get("scale", 0.0)
     llayers = (lora or {}).get("layers", [None] * cfg.num_layers)
@@ -682,7 +720,7 @@ def _generate_impl(cfg: LLMConfig, params: dict, prompt_embeds,
         else:
             ks = key
         x = embed_tokens(params, tok)[:, None]            # (BN, 1, D)
-        pos = kv_len[:, None]
+        pos = (kv_len + rope_delta)[:, None]
         valid = (jnp.arange(Lmax)[None, None] < (kv_len + 1)[:, None, None])
         new_cache = []
         for li, (lp, lol) in enumerate(zip(params["layers"], llayers)):
@@ -741,14 +779,16 @@ def _generate_impl(cfg: LLMConfig, params: dict, prompt_embeds,
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "eos_id"))
 def greedy_generate(cfg: LLMConfig, params: dict, prompt_embeds,
                     max_new_tokens: int = 32, eos_id: int = 1,
-                    lora: Optional[dict] = None):
+                    lora: Optional[dict] = None, prompt_positions=None):
     """Greedy decode with a preallocated KV cache (one ``lax.scan``).
 
     prompt_embeds (B, Lp, D).  Returns (tokens (B, T), entropies (B, T),
-    lengths (B,)) — positions after EOS hold EOS."""
+    lengths (B,)) — positions after EOS hold EOS.  ``prompt_positions``:
+    explicit (M-)RoPE prompt positions for multimodal splices."""
     tokens, entropies, _, lengths = _generate_impl(
         cfg, params, prompt_embeds, max_new_tokens, eos_id, lora,
-        temperature=None, key=None, num_return_sequences=1)
+        temperature=None, key=None, num_return_sequences=1,
+        prompt_positions=prompt_positions)
     return tokens, entropies, lengths
 
 
@@ -758,7 +798,7 @@ def sample_generate(cfg: LLMConfig, params: dict, prompt_embeds, key,
                     max_new_tokens: int = 32, eos_id: int = 1,
                     lora: Optional[dict] = None,
                     temperature: float = 1.0,
-                    num_return_sequences: int = 1):
+                    num_return_sequences: int = 1, prompt_positions=None):
     """Temperature sampling with N return sequences per input — the
     reference's reasoning-mode generation (``run_llm.py:273``:
     ``do_sample=True, temperature=…, num_return_sequences=…``).
@@ -772,7 +812,8 @@ def sample_generate(cfg: LLMConfig, params: dict, prompt_embeds, key,
     return _generate_impl(cfg, params, prompt_embeds, max_new_tokens,
                           eos_id, lora, temperature=float(temperature),
                           key=key,
-                          num_return_sequences=int(num_return_sequences))
+                          num_return_sequences=int(num_return_sequences),
+                          prompt_positions=prompt_positions)
 
 
 # --------------------------------------------------------------------------
