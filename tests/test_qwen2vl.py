@@ -207,3 +207,15 @@ def test_greedy_generate_matches_hf_multimodal(oracle, rng):
         TCFG, tparams, embeds[None], max_new_tokens=T, eos_id=0,
         prompt_positions=jnp.asarray(mpos)[:, None, :])
     np.testing.assert_array_equal(np.asarray(toks)[0], want)
+
+
+def test_backbone_registry():
+    """All three reference model types resolve (octopi llm.py:15-31)."""
+    t = L.backbone("qwen2.5-7b")
+    assert t.hidden_size == 3584 and t.mrope_section is None
+    t = L.backbone("llama-3.1-8b")
+    assert t.qkv_bias is False
+    t, v = L.backbone("qwen2-vl-7b")
+    assert t.mrope_section == (16, 24, 24) and v.depth == 32
+    with pytest.raises(ValueError):
+        L.backbone("gpt-5")

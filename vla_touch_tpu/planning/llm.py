@@ -82,6 +82,27 @@ def llama31_8b() -> LLMConfig:
                      rope_theta=5e5, tie_embeddings=False, qkv_bias=False)
 
 
+def backbone(model_type: str):
+    """The reference's three planner backbones by name
+    (``octopi/octopi_s/utils/llm.py:15-31``): returns the text
+    :class:`LLMConfig`, plus the vision config for the VL variant.
+
+    'llama-3.1-8b' -> LLMConfig; 'qwen2.5-7b' -> LLMConfig;
+    'qwen2-vl-7b' -> (LLMConfig with M-RoPE, Qwen2VLVisionConfig).
+    """
+    if model_type == "llama-3.1-8b":
+        return llama31_8b()
+    if model_type == "qwen2.5-7b":
+        return qwen25_7b()
+    if model_type == "qwen2-vl-7b":
+        from vla_touch_tpu.planning.qwen2vl import (
+            qwen2vl_7b, qwen2vl_7b_vision)
+
+        return qwen2vl_7b(), qwen2vl_7b_vision()
+    raise ValueError(f"unknown model_type {model_type!r} (expected "
+                     "'llama-3.1-8b', 'qwen2.5-7b' or 'qwen2-vl-7b')")
+
+
 # --------------------------------------------------------------------------
 # Parameters
 # --------------------------------------------------------------------------
