@@ -150,10 +150,12 @@ def _si_nets(module: BridgeControllerModule, params: dict, si_params: dict):
     return {k: head(k) for k in ("v", "s", "b")}
 
 
-@partial(jax.jit, static_argnames=("cfg", "diffuse_steps"))
+@partial(jax.jit, static_argnames=("cfg", "diffuse_steps", "unroll",
+                                   "unet_impl"))
 def bridge_predict(cfg: BridgeControllerConfig, params, ema_shadow, stats,
                    key, state, vla_actions, cam1_feat=None, cam2_feat=None,
-                   forces=None, diffuse_steps: Optional[int] = None):
+                   forces=None, diffuse_steps: Optional[int] = None,
+                   unroll: Optional[int] = None, unet_impl: str = "auto"):
     """Refine a VLA chunk (reference ``DiffusionController.predict``).
 
     state (B, state_dim); vla_actions (B, H, state_dim); returns (B, H,
@@ -180,15 +182,36 @@ def bridge_predict(cfg: BridgeControllerConfig, params, ema_shadow, stats,
         stacked = jax.tree.map(lambda v, s: jnp.stack([v, s]),
                                ema_shadow["v_net"], ema_shadow["s_net"])
 
-        def vs_fused(x, t, c):
-            out = jax.vmap(
-                lambda p: unet.apply({"params": p}, x, t, c))(stacked)
-            return out[0], out[1]
+        # The SDE step is kernel-count bound (~970 HLO instructions / ~40
+        # matmuls per step on (2, 16, <=512) tensors).  Two attacks were
+        # measured on v5e (tools/bench_bridge.py, 10-step refine p50):
+        # the tap-stacked Conv1d (ops/nn.py::_TapConv1d, one MXU matmul
+        # per conv) cut the refine 12.0 -> 8.3 ms and is the default; the
+        # fused-resblock Pallas kernel (ops/pallas_unet.py, one launch
+        # per block) measured NEGATIVE on top of it (8.7 ms, its f32->bf16
+        # weight streaming buys less than the launch fusion saves) and
+        # unroll>1 is a wash (8.1-9.5 ms).  'auto' therefore = flax taps;
+        # the kernel stays opt-in via unet_impl='fused'.
+        use_fused = unet_impl == "fused"
+        if use_fused:
+            from vla_touch_tpu.models.controllers import unet1d_serve as US
+
+            def vs_fused(x, t, c):
+                out = US.unet_forward_stacked(
+                    stacked, x, t, c, down_dims=tuple(cfg.unet_down_dims),
+                    dtype=inf_dtype, fused=True)
+                return out[0], out[1]
+        else:
+            def vs_fused(x, t, c):
+                out = jax.vmap(
+                    lambda p: unet.apply({"params": p}, x, t, c))(stacked)
+                return out[0], out[1]
 
         nets = dict(nets, vs_fused=vs_fused)
 
     refined_n = SI.sde_sample(cfg.interpolant, nets, vla_n, obs_cond, key,
-                              diffuse_steps or cfg.interpolant.diffusion_steps)
+                              diffuse_steps or cfg.interpolant.diffusion_steps,
+                              unroll=unroll)
     return denormalize_actions(refined_n, stats, "expert")
 
 

@@ -211,7 +211,8 @@ def si_training_loss(cfg: InterpolantConfig, key, nets: dict, obs_cond,
 
 def sde_sample(cfg: InterpolantConfig, nets: dict, x_prior, cond, key,
                diffuse_steps: int | None = None, score_weight: float = 1.0,
-               record_traj: bool = False, noise_seq=None):
+               record_traj: bool = False, noise_seq=None,
+               unroll: int | None = None):
     """Forward Euler–Maruyama simulation of the bridge SDE, one lax.scan.
 
     ``nets``: ``{"v": fn, "s": fn}`` for sde_type 'vs' or ``{"b": fn,
@@ -260,7 +261,15 @@ def sde_sample(cfg: InterpolantConfig, nets: dict, x_prior, cond, key,
         x_new = x_new + noise_scale * dw
         return (x_new, k), (x_new if record_traj else None)
 
-    (x_final, _), traj = jax.lax.scan(body, (x0, key), jnp.arange(n))
+    # The SDE body is ~50 tiny ops on (B, H<=16, C<=512) tensors; unroll
+    # was measured a WASH on v5e (tools/bench_bridge.py: u1 8.3 / u2 8.1 /
+    # u5 9.7 ms p50 — the per-step cost is weight re-streaming, not scan
+    # iteration overhead), so the default stays rolled (compile time,
+    # memory); the knob remains for other platforms.
+    if unroll is None:
+        unroll = 1
+    (x_final, _), traj = jax.lax.scan(body, (x0, key), jnp.arange(n),
+                                      unroll=min(unroll, n))
     if record_traj:
         return x_final, jnp.concatenate([x0[None], traj], axis=0)
     return x_final

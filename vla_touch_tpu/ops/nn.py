@@ -194,8 +194,25 @@ class Conv1d(fnn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
+    impl: str = "auto"    # "taps" = one tap-stacked matmul, "lax" = XLA conv
+
     @fnn.compact
     def __call__(self, x):
+        # The controller UNets run on tiny tensors (B<=4, T<=16, C<=512):
+        # XLA's conv lowering at those shapes emits several kernels per
+        # conv and the 10-step SDE becomes kernel-latency bound.  The
+        # tap-stacked form gathers the k shifted views once (layout ops
+        # that fuse) and runs ONE (B*T, k*Cin) x (k*Cin, F) MXU matmul —
+        # identical math, same parameter tree ("conv"/kernel of shape
+        # (k, Cin, F), the fnn.Conv convention).
+        use_taps = self.impl == "taps" or (
+            self.impl == "auto" and x.shape[1] <= 64)
+        if use_taps:
+            return _TapConv1d(
+                features=self.features, kernel_size=self.kernel_size,
+                stride=self.stride, padding=self.padding,
+                use_bias=self.use_bias, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="conv")(x)
         return fnn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size,),
@@ -206,6 +223,43 @@ class Conv1d(fnn.Module):
             param_dtype=self.param_dtype,
             name="conv",
         )(x)
+
+
+class _TapConv1d(fnn.Module):
+    """fnn.Conv-compatible 1-D conv computed as one tap-stacked matmul.
+
+    Parameter names, shapes and initializers match ``fnn.Conv`` exactly
+    (kernel (k, Cin, F) lecun-normal, bias (F,) zeros), so checkpoints and
+    torch ports are interchangeable between the two implementations."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x):
+        k, s = self.kernel_size, self.stride
+        Cin = x.shape[-1]
+        kernel = self.param("kernel", fnn.initializers.lecun_normal(),
+                            (k, Cin, self.features), self.param_dtype)
+        xp = jnp.pad(x, ((0, 0), (self.padding, self.padding), (0, 0)))
+        T_out = (xp.shape[1] - k) // s + 1
+        if k == 1 and s == 1:
+            xt = xp
+        else:
+            taps = [xp[:, d: d + (T_out - 1) * s + 1: s] for d in range(k)]
+            xt = jnp.concatenate(taps, axis=-1)          # (B, T_out, k*Cin)
+        w = kernel.astype(self.dtype).reshape(k * Cin, self.features)
+        y = xt.astype(self.dtype) @ w
+        if self.use_bias:
+            bias = self.param("bias", fnn.initializers.zeros,
+                              (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class ConvTranspose1d(fnn.Module):
