@@ -241,11 +241,26 @@ def test_w4_pack_roundtrip_and_group_size(rng):
     assert qp["scale4"].shape == (2, 128)
     w_i4 = np.asarray(unpack_w4(qp["w4_pack"], 256))
     assert w_i4.min() >= -7 and w_i4.max() <= 7
-    # dequantized weights approximate the original within the group-max step
-    deq = w_i4.reshape(2, 128, 128) * np.asarray(qp["scale4"])[:, None, :]
-    step = np.asarray(qp["scale4"])[:, None, :]
-    assert np.all(np.abs(deq.reshape(256, 128) - w)
-                  <= (step / 2 + 1e-6).repeat(128, axis=1).reshape(256, 128))
+    # default quantizer runs the MSE clip search: within the clipped range
+    # the round-to-nearest bound holds, and the searched scale must not be
+    # worse in MSE than the naive group-max scale
+    deq = (w_i4.reshape(2, 128, 128)
+           * np.asarray(qp["scale4"])[:, None, :]).reshape(256, 128)
+    step = np.asarray(qp["scale4"])[:, None, :] \
+        .repeat(128, axis=1).reshape(256, 128)
+    w_clip = np.clip(w, -7 * step, 7 * step)
+    assert np.all(np.abs(deq - w_clip) <= step / 2 + 1e-6)
+
+    qp_max = quantize_linear_w4({"kernel": w}, clip_search=False)
+    deq_max = (np.asarray(unpack_w4(qp_max["w4_pack"], 256))
+               .reshape(2, 128, 128)
+               * np.asarray(qp_max["scale4"])[:, None, :]).reshape(256, 128)
+    step_max = np.asarray(qp_max["scale4"])[:, None, :] \
+        .repeat(128, axis=1).reshape(256, 128)
+    # group-max scaling never clips: the strict half-step bound holds
+    assert np.all(np.abs(deq_max - w) <= step_max / 2 + 1e-6)
+    assert float(((deq - w) ** 2).mean()) \
+        <= float(((deq_max - w) ** 2).mean()) + 1e-12
 
 
 def test_qdense_w4_error_bound(rng):
