@@ -316,6 +316,65 @@ def main():
     p50_full_cold = measure(cold_full, state10, reps=5)
     p50_full_warm = measure(warm_full, (state10, tokens0, prior_a0), reps=5)
 
+    # ---- franka operating point: the left-wrist camera is ALWAYS the
+    # padded background (unified_vla_dataset_episode.py:354-363) and the
+    # reference still SigLIP-encodes it every step
+    # (franka_model_eef.py:243-289).  The static-absent path splices
+    # precomputed background tokens instead — 4 images encoded, not 6
+    # (exactness pinned by tests/test_policy_cache.py). -------------------
+    fmask6_fr = np.ones((B, 6), bool)
+    fmask6_fr[:, [2, 5]] = False
+    fmask6_fr = jnp.asarray(fmask6_fr)
+    bg_tok = P.encode_background_tokens(pcfg, vparams)
+
+    @jax.jit
+    def full_tick_cold_franka(qp, vp, b_params, ema_shadow, key, s):
+        k1, k2 = jax.random.split(key)
+        actions = P.policy_step(pcfg, qp, vp, k1, proprio, frames6,
+                                fmask6_fr, lang, lang_mask,
+                                absent=(2, 5), bg_tokens=bg_tok)
+        vla10 = actions[:, : bcfg.horizon].astype(jnp.float32)
+        return BR.bridge_predict(bcfg, b_params, ema_shadow, stats, k2, s,
+                                 vla10, cam1_feat=cam1, cam2_feat=cam2,
+                                 forces=forces)
+
+    @jax.jit
+    def full_tick_warm_franka(qp, vp, b_params, ema_shadow, key, s,
+                              prev_tokens, prior_actions):
+        k1, k2 = jax.random.split(key)
+        actions, cur = P.policy_step_cached_warm(
+            pcfg, qp, vp, k1, proprio, frames6[:, 3:], fmask6_fr[:, 3:],
+            prev_tokens, lang, lang_mask, prior_actions, 2,
+            absent=(2,), bg_tokens=bg_tok)
+        vla10 = actions[:, : bcfg.horizon].astype(jnp.float32)
+        refined = BR.bridge_predict(bcfg, b_params, ema_shadow, stats, k2,
+                                    s, vla10, cam1_feat=cam1,
+                                    cam2_feat=cam2, forces=forces)
+        next_prior = jnp.concatenate(
+            [actions[:, SHIFT:], jnp.repeat(actions[:, -1:], SHIFT, axis=1)],
+            axis=1)
+        return refined, cur, next_prior
+
+    def cold_full_franka(key, s):
+        refined = full_tick_cold_franka(qparams, vparams, bst.params,
+                                        bst.ema.shadow, key, s)
+        return refined, refined[:, 0, :]
+
+    tokens0_fr = P.encode_frames(pcfg, vparams, frames6[:, 3:],
+                                 fmask6_fr[:, 3:], absent=(2,),
+                                 bg_tokens=bg_tok)
+
+    def warm_full_franka(key, carry):
+        s, tok, prior = carry
+        refined, tok, prior = full_tick_warm_franka(
+            qparams, vparams, bst.params, bst.ema.shadow, key, s, tok,
+            prior)
+        return refined, (refined[:, 0, :], tok, prior)
+
+    p50_full_cold_fr = measure(cold_full_franka, state10, reps=5)
+    p50_full_warm_fr = measure(warm_full_franka,
+                               (state10, tokens0_fr, prior_a0), reps=5)
+
     # ---- per-stage breakdown + roofline ----------------------------------
     @jax.jit
     def stage_siglip(vp, key):
@@ -424,6 +483,11 @@ def main():
         # frames) + solver warm start, the deployment steady state
         "full_tick_ms": round(p50_full_cold, 2),
         "full_tick_warm_ms": round(p50_full_warm, 2),
+        # the franka deployment operating point: left wrist statically
+        # absent -> SigLIP encodes 4 (cold) / 2 (warm) images, background
+        # tokens spliced in exactly
+        "full_tick_franka_ms": round(p50_full_cold_fr, 2),
+        "full_tick_franka_warm_ms": round(p50_full_warm_fr, 2),
         "stage_ms": {"siglip_6img": round(ms_siglip, 2),
                      "rdt_cond_kv": round(ms_cond, 2),
                      "rdt_denoise_5step": round(ms_denoise, 2),

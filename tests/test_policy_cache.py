@@ -180,3 +180,42 @@ def test_policy_serves_quantized_tree(rng):
         cfg, qparams, model.vision_params, key, proprio, frames[:, 3:],
         mask[:, 3:], prev, text, tmask, prior, 1)
     assert np.isfinite(np.asarray(combo)).all()
+
+
+def test_absent_camera_tokens_match_masked(rng):
+    """Static-absent frames (precomputed background tokens spliced in)
+    must equal the full 6-image encode with those frames masked out —
+    the reference's franka operating point pays full SigLIP cost for the
+    padded left wrist (franka_model_eef.py:243-289); we skip it exactly."""
+    cfg = _cfg()
+    model = P.create_model(cfg, seed=0)
+    frames = jnp.asarray(rng.integers(0, 255, (1, 6, 28, 28, 3)), jnp.uint8)
+    # left wrist (cam 2) absent in both frame windows -> indices (2, 5)
+    mask = jnp.asarray([[True, True, False, True, True, False]])
+
+    full = P.encode_frames(cfg, model.vision_params, frames, mask)
+    bg = P.encode_background_tokens(cfg, model.vision_params)
+    fast = P.encode_frames(cfg, model.vision_params, frames, mask,
+                           absent=(2, 5), bg_tokens=bg)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(fast),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_wrapper_absent_camera_matches_full(rng):
+    cfg = _cfg()
+    base = P.create_model(cfg, seed=0, cache_frames=False)
+    fast = P.RoboticDiffusionTransformerModel(
+        cfg, base.rdt_params, base.vision_params, cache_frames=True,
+        absent_cameras=(2,))
+    plain = P.RoboticDiffusionTransformerModel(
+        cfg, base.rdt_params, base.vision_params, cache_frames=True)
+
+    text = rng.normal(size=(4, TINY_RDT.lang_token_dim)).astype(np.float32)
+    proprio = rng.normal(size=10)
+    f = [rng.integers(0, 255, (28, 28, 3), np.uint8) for _ in range(4)]
+
+    for w in ([f[0], f[1], None, f[2], f[3], None],
+              [f[2], f[3], None, f[0], f[1], None]):
+        a_fast = fast.step(proprio, w, text)
+        a_plain = plain.step(proprio, w, text)
+        np.testing.assert_allclose(a_fast, a_plain, rtol=1e-5, atol=1e-6)

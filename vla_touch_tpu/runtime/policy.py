@@ -74,11 +74,38 @@ def aloha_policy_config(**kw) -> PolicyConfig:
 
 
 def _encode_frames(cfg: PolicyConfig, vision_params, images, image_mask,
-                   dtype):
-    """(B, nf, S, S, 3) frames -> (B, nf*729, C) SigLIP tokens (traced)."""
+                   dtype, absent=(), bg_tokens=None):
+    """(B, nf, S, S, 3) frames -> (B, nf*729, C) SigLIP tokens (traced).
+
+    ``absent`` (static frame indices) + ``bg_tokens`` ((729, C), from
+    :func:`encode_background_tokens`): frames that are ALWAYS the padded
+    background at this operating point skip the vision tower entirely and
+    their constant tokens are spliced in.  The reference's franka
+    deployment background-pads the missing left-wrist camera on every
+    step and still pays full SigLIP cost for it
+    (franka_model_eef.py:243-289) — declaring it absent cuts the encode
+    from 6 to 4 images with identical math (each image's tokens depend
+    only on that image)."""
     from vla_touch_tpu.utils.image import siglip_normalize
 
     B, nf = images.shape[:2]
+    absent = tuple(sorted(absent))
+    if absent and bg_tokens is not None and 0 < len(absent) < nf:
+        present = [i for i in range(nf) if i not in absent]
+        sub = _encode_frames(cfg, vision_params, images[:, present],
+                             image_mask[:, present], dtype)
+        C = sub.shape[-1]
+        sub = sub.reshape(B, len(present), -1, C)
+        bg = jnp.broadcast_to(bg_tokens.astype(dtype)[None],
+                              (B,) + bg_tokens.shape)
+        parts, j = [], 0
+        for i in range(nf):
+            if i in absent:
+                parts.append(bg)
+            else:
+                parts.append(sub[:, j])
+                j += 1
+        return jnp.concatenate(parts, axis=1)       # (B, nf*729, C)
     x = siglip_normalize(images)
     x = jnp.where(image_mask[:, :, None, None, None], x, 0.0)  # bg = mean
     S = cfg.image_size
@@ -86,6 +113,19 @@ def _encode_frames(cfg: PolicyConfig, vision_params, images, image_mask,
     tokens = SiglipVisionEncoder(cfg.vision, dtype=dtype).apply(
         {"params": vision_params}, flat)            # (B*nf, 729, 1152)
     return tokens.reshape(B, -1, tokens.shape[-1])
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def encode_background_tokens(cfg: PolicyConfig, vision_params):
+    """SigLIP tokens of the padded-background frame — a (729, C) constant
+    per checkpoint.  Compute once per deployment and pass as ``bg_tokens``
+    to the policy-step entries together with the static ``absent`` frame
+    indices."""
+    dtype = cfg.rdt.model.compute_dtype
+    S = cfg.image_size
+    z = jnp.zeros((1, 1, S, S, 3), jnp.float32)
+    return _encode_frames(cfg, vision_params, z,
+                          jnp.zeros((1, 1), bool), dtype)[0]
 
 
 def _is_quant_tree(rdt_params) -> bool:
@@ -146,54 +186,62 @@ def _predict_from_tokens(cfg: PolicyConfig, rdt_params, key, proprio,
     return chunk[:, :, idx] * out_scale
 
 
-@partial(jax.jit, static_argnames=("cfg", "skip_steps"))
+@partial(jax.jit, static_argnames=("cfg", "skip_steps", "absent"))
 def policy_step_warm(cfg: PolicyConfig, rdt_params, vision_params, key,
                      proprio, images, image_mask, text_embeds, text_mask,
-                     prior_actions, skip_steps: int):
+                     prior_actions, skip_steps: int, absent=(),
+                     bg_tokens=None):
     """Replan with partial denoising: the previous chunk (already shifted by
     the executed ticks, in RAW robot action units, (B, horizon, D_low))
     seeds the solver at step ``skip_steps`` instead of pure noise
     (Falcon-style warm start; the reference restarts from scratch every
     replan, ``rdt_runner.py:138``)."""
     img_tokens = _encode_frames(cfg, vision_params, images, image_mask,
-                                cfg.rdt.model.compute_dtype)
+                                cfg.rdt.model.compute_dtype,
+                                absent=absent, bg_tokens=bg_tokens)
     return _predict_from_tokens(cfg, rdt_params, key, proprio, img_tokens,
                                 text_embeds, text_mask,
                                 prior_actions=prior_actions,
                                 skip_steps=skip_steps)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "absent"))
 def policy_step(cfg: PolicyConfig, rdt_params, vision_params, key,
-                proprio, images, image_mask, text_embeds, text_mask):
+                proprio, images, image_mask, text_embeds, text_mask,
+                absent=(), bg_tokens=None):
     """One action-chunk inference.
 
     proprio: (B, D_low) raw robot state;
     images: (B, 6, S, S, 3) uint8/float frames ordered
         [ext_{t-1}, right_{t-1}, left_{t-1}, ext_t, right_t, left_t];
     image_mask: (B, 6) bool — False frames are replaced by the background;
-    text_embeds: (B, L, 4096); text_mask: (B, L) bool.
+    text_embeds: (B, L, 4096); text_mask: (B, L) bool;
+    absent/bg_tokens: frames that are ALWAYS background skip the vision
+        tower (see :func:`_encode_frames`).
 
     Returns (B, horizon, D_low) actions in raw robot units.
     """
     dtype = cfg.rdt.model.compute_dtype
-    img_tokens = _encode_frames(cfg, vision_params, images, image_mask, dtype)
+    img_tokens = _encode_frames(cfg, vision_params, images, image_mask, dtype,
+                                absent=absent, bg_tokens=bg_tokens)
     return _predict_from_tokens(cfg, rdt_params, key, proprio, img_tokens,
                                 text_embeds, text_mask)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def encode_frames(cfg: PolicyConfig, vision_params, images, image_mask):
+@partial(jax.jit, static_argnames=("cfg", "absent"))
+def encode_frames(cfg: PolicyConfig, vision_params, images, image_mask,
+                  absent=(), bg_tokens=None):
     """Standalone frame encoder: (B, nf, S, S, 3) -> (B, nf*729, C) tokens.
     Used to seed the t-1 token cache on the first replan of an episode."""
     return _encode_frames(cfg, vision_params, images, image_mask,
-                          cfg.rdt.model.compute_dtype)
+                          cfg.rdt.model.compute_dtype,
+                          absent=absent, bg_tokens=bg_tokens)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "absent"))
 def policy_step_cached(cfg: PolicyConfig, rdt_params, vision_params, key,
                        proprio, new_images, new_image_mask, prev_tokens,
-                       text_embeds, text_mask):
+                       text_embeds, text_mask, absent=(), bg_tokens=None):
     """Replan reusing cached t-1 frame tokens.
 
     The reference re-encodes all 6 frames every inference
@@ -208,18 +256,19 @@ def policy_step_cached(cfg: PolicyConfig, rdt_params, vision_params, key,
     """
     dtype = cfg.rdt.model.compute_dtype
     cur = _encode_frames(cfg, vision_params, new_images, new_image_mask,
-                         dtype)
+                         dtype, absent=absent, bg_tokens=bg_tokens)
     img_tokens = jnp.concatenate([prev_tokens.astype(dtype), cur], axis=1)
     actions = _predict_from_tokens(cfg, rdt_params, key, proprio, img_tokens,
                                    text_embeds, text_mask)
     return actions, cur
 
 
-@partial(jax.jit, static_argnames=("cfg", "skip_steps"))
+@partial(jax.jit, static_argnames=("cfg", "skip_steps", "absent"))
 def policy_step_cached_warm(cfg: PolicyConfig, rdt_params, vision_params,
                             key, proprio, new_images, new_image_mask,
                             prev_tokens, text_embeds, text_mask,
-                            prior_actions, skip_steps: int):
+                            prior_actions, skip_steps: int, absent=(),
+                            bg_tokens=None):
     """The steady-state replan: cached t-1 SigLIP tokens AND warm-started
     denoising in one dispatch — every replan after the first combines both
     savings (measured separately: ~21 ms vision cache, ~7 ms warm start at
@@ -228,7 +277,7 @@ def policy_step_cached_warm(cfg: PolicyConfig, rdt_params, vision_params,
     (``prior_actions`` already shifted by the executed ticks, raw units)."""
     dtype = cfg.rdt.model.compute_dtype
     cur = _encode_frames(cfg, vision_params, new_images, new_image_mask,
-                         dtype)
+                         dtype, absent=absent, bg_tokens=bg_tokens)
     img_tokens = jnp.concatenate([prev_tokens.astype(dtype), cur], axis=1)
     actions = _predict_from_tokens(cfg, rdt_params, key, proprio, img_tokens,
                                    text_embeds, text_mask,
@@ -256,17 +305,25 @@ class RoboticDiffusionTransformerModel:
     """
 
     def __init__(self, cfg: PolicyConfig, rdt_params, vision_params,
-                 cache_frames: bool = True):
+                 cache_frames: bool = True, absent_cameras=()):
         self.cfg = cfg
         self.rdt_params = rdt_params
         self.vision_params = vision_params
         self.cache_frames = cache_frames
+        # Cameras (0=ext, 1=right wrist, 2=left wrist) that this deployment
+        # NEVER provides: their frames are the constant padded background,
+        # so SigLIP skips them and splices precomputed tokens instead.  The
+        # franka rigs pass absent_cameras=(2,) (left wrist empty,
+        # unified_vla_dataset_episode.py:354-363).
+        self.absent_cameras = tuple(sorted(absent_cameras))
+        self._bg_tokens = None
         self._key = jax.random.PRNGKey(0)
         self._token_cache = None          # (digest, (1, 3*729, C) tokens)
 
     @classmethod
     def create(cls, cfg: Optional[PolicyConfig] = None, seed: int = 0,
-               rdt_params=None, vision_params=None, cache_frames: bool = True):
+               rdt_params=None, vision_params=None, cache_frames: bool = True,
+               absent_cameras=()):
         cfg = cfg or PolicyConfig()
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         if rdt_params is None:
@@ -274,7 +331,21 @@ class RoboticDiffusionTransformerModel:
         if vision_params is None:
             dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
             vision_params = SiglipVisionEncoder(cfg.vision).init(k2, dummy)["params"]
-        return cls(cfg, rdt_params, vision_params, cache_frames=cache_frames)
+        return cls(cfg, rdt_params, vision_params, cache_frames=cache_frames,
+                   absent_cameras=absent_cameras)
+
+    def _absent(self, nf: int):
+        """Frame-level absent indices + lazily-built background tokens for
+        an ``nf``-frame call (6 = two frames x 3 cams, 3 = newest frame)."""
+        if not self.absent_cameras:
+            return (), None
+        if self._bg_tokens is None:
+            self._bg_tokens = encode_background_tokens(self.cfg,
+                                                       self.vision_params)
+        frames = nf // 3
+        absent = tuple(c + 3 * f for f in range(frames)
+                       for c in self.absent_cameras)
+        return absent, self._bg_tokens
 
     def reset(self):
         """Drop cached frame tokens (episode boundary / camera change)."""
@@ -317,6 +388,7 @@ class RoboticDiffusionTransformerModel:
             prior = jnp.asarray(np.asarray(prior_actions, np.float32)
                                 .reshape(1, -1, len(cfg.state_indices)))
         if self.cache_frames:
+            ab3, bg = self._absent(3)
             prev_digest = _frame_digest(frames[:, :3], mask[:, :3])
             if self._token_cache is not None \
                     and self._token_cache[0] == prev_digest:
@@ -324,28 +396,32 @@ class RoboticDiffusionTransformerModel:
             else:
                 prev_tokens = encode_frames(
                     cfg, self.vision_params, jnp.asarray(frames[:, :3]),
-                    jnp.asarray(mask[:, :3]))
+                    jnp.asarray(mask[:, :3]), absent=ab3, bg_tokens=bg)
             if warm:
                 out, cur_tokens = policy_step_cached_warm(
                     cfg, self.rdt_params, self.vision_params, k, args[0],
                     jnp.asarray(frames[:, 3:]), jnp.asarray(mask[:, 3:]),
-                    prev_tokens, args[1], args[2], prior, skip_steps)
+                    prev_tokens, args[1], args[2], prior, skip_steps,
+                    absent=ab3, bg_tokens=bg)
             else:
                 out, cur_tokens = policy_step_cached(
                     cfg, self.rdt_params, self.vision_params, k, args[0],
                     jnp.asarray(frames[:, 3:]), jnp.asarray(mask[:, 3:]),
-                    prev_tokens, args[1], args[2])
+                    prev_tokens, args[1], args[2], absent=ab3, bg_tokens=bg)
             self._token_cache = (_frame_digest(frames[:, 3:], mask[:, 3:]),
                                  cur_tokens)
         elif warm:
+            ab6, bg = self._absent(6)
             out = policy_step_warm(cfg, self.rdt_params, self.vision_params,
                                    k, args[0], jnp.asarray(frames),
                                    jnp.asarray(mask), args[1], args[2],
-                                   prior, skip_steps)
+                                   prior, skip_steps, absent=ab6,
+                                   bg_tokens=bg)
         else:
+            ab6, bg = self._absent(6)
             out = policy_step(cfg, self.rdt_params, self.vision_params, k,
                               args[0], jnp.asarray(frames), jnp.asarray(mask),
-                              args[1], args[2])
+                              args[1], args[2], absent=ab6, bg_tokens=bg)
         return np.asarray(out)
 
 

@@ -520,14 +520,19 @@ def main(argv=None):
     p.add_argument("--pretrained_text_encoder_name_or_path", default=None,
                    help="accepted for compat; language embeds are "
                         "precomputed (encode_lang tools)")
+    # --- hub push (network-gated; reference train/train.py:495-508) ---------
+    p.add_argument("--push_to_hub", action="store_true",
+                   help="upload the output dir to the HF hub at the end "
+                        "of training (requires huggingface_hub + network)")
+    p.add_argument("--hub_model_id", default=None,
+                   help="hub repo id (default: output dir basename)")
+    p.add_argument("--hub_token", default=None)
     # --- accepted no-ops (GPU/accelerate specifics; logged, not errors) -----
     for flag in ("--config_path", "--deepspeed", "--report_to",
-                 "--logging_dir", "--mixed_precision", "--hub_model_id",
-                 "--hub_token"):
+                 "--logging_dir", "--mixed_precision"):
         p.add_argument(flag, default=None, help="accepted for script "
                        "compat; no TPU equivalent needed")
-    for flag in ("--allow_tf32",
-                 "--set_grads_to_none", "--push_to_hub"):
+    for flag in ("--allow_tf32", "--set_grads_to_none"):
         p.add_argument(flag, action="store_true", help="accepted for "
                        "script compat; no TPU equivalent needed")
     p.add_argument("--gradient_checkpointing", action="store_true",
@@ -608,6 +613,17 @@ def main(argv=None):
         vision_params = siglip_from_hf(sd, num_layers=SIGLIP_SO400M.num_layers)
     trainer.train(resume_from=args.resume_from_checkpoint,
                   vision_params=vision_params, init_params=init_params)
+
+    # End-of-training hub upload (≙ reference train/train.py:495-508),
+    # main process only, after the final checkpoint has landed on disk.
+    if args.push_to_hub and jax.process_index() == 0:
+        from vla_touch_tpu.utils.hub import push_checkpoint_to_hub
+
+        repo = push_checkpoint_to_hub(
+            args.output_dir, hub_model_id=args.hub_model_id,
+            token=args.hub_token,
+            base_model=args.pretrained_model_name_or_path)
+        logging.getLogger(__name__).info("pushed to hub repo %s", repo)
 
 
 if __name__ == "__main__":
