@@ -81,3 +81,87 @@ def test_rgb_input_supported():
     rgb = np.stack([gray] * 3, axis=-1)
     baseline = MT.calibrate(rgb, CFG)
     assert int(np.asarray(baseline["valid"]).sum()) == 63
+
+
+# ---- HSR-lighting sensor variant (reference marker_tracker.py:116-152) ----
+
+def make_hsr_frame(shift=(0.0, 0.0), gain=1.0, rows=7, cols=9, H=140,
+                   W=180, radius=3, bg=120):
+    """HSR raw frame: DARK markers on a near-uniform midtone background
+    (init_HSR inverts first).  ``gain`` models the frame-to-frame global
+    exposure drift that histogram equalization normalizes away — after
+    inversion + equalizeHist the dominant background bin maps to 0
+    regardless of gain, so the FIXED threshold 50 works where it would
+    drift without equalization.  (A continuous intra-frame ramp would NOT
+    survive this pipeline: equalization is rank-based, so a ramp spreads
+    the background over the whole output range — the reference's HSR path
+    presumes the sensor's uniform illumination.)"""
+    img = make_marker_frame(shift, rows, cols, H, W, radius, bg=bg, fg=30)
+    return np.clip(img * gain, 0, 255)
+
+
+HSR_CFG = MT.TrackerConfig(grid_rows=7, grid_cols=9, min_cell_mass=4.0,
+                           gelsight_version="hsr")
+
+
+def test_equalize_hist_matches_cv2():
+    rng = np.random.default_rng(1)
+    img = rng.integers(20, 200, (48, 64)).astype(np.uint8)
+    ours = np.asarray(MT.equalize_hist(img.astype(np.float32)))
+    ref = cv2.equalizeHist(img).astype(np.float32)
+    assert np.abs(ours - ref).max() <= 1.0  # rounding-mode off-by-one class
+
+
+def test_hsr_mask_matches_cv2_pipeline():
+    """Full HSR init path vs the cv2 oracle (invert -> equalizeHist ->
+    GaussianBlur(5) -> threshold 50 -> MORPH_OPEN), interior pixels (border
+    handling differs: cv2 reflects, XLA zero-pads)."""
+    frame = make_hsr_frame().astype(np.float32)
+    gray = np.clip(np.round(frame), 0, 255).astype(np.uint8)
+    inv = 255 - gray
+    eq = cv2.equalizeHist(inv)
+    blurred = cv2.GaussianBlur(eq, (5, 5), 0)
+    _, thresh = cv2.threshold(blurred, 50, 255, cv2.THRESH_BINARY)
+    kernel = np.ones((3, 3), np.uint8)
+    want = (cv2.morphologyEx(thresh, cv2.MORPH_OPEN, kernel) > 0)
+
+    got = np.asarray(MT.marker_mask(frame, HSR_CFG)) > 0.5
+    inner = (slice(6, -6), slice(6, -6))
+    agree = (got[inner] == want[inner]).mean()
+    # cv2 blurs the equalized image in uint8 (integer rounding); ours stays
+    # float — pixels landing exactly on the threshold boundary can flip, so
+    # require 99% pixel agreement rather than exactness.
+    assert agree > 0.99, agree
+
+
+def test_hsr_displacement_recovery():
+    base = make_hsr_frame()
+    baseline = MT.calibrate(base, HSR_CFG)
+    assert int(np.asarray(baseline["valid"]).sum()) == 63
+    # moved frame at a different global exposure: equalization absorbs it
+    moved = make_hsr_frame((2.0, 1.0), gain=1.15)
+    out = MT.estimate_force(moved, baseline, HSR_CFG)
+    np.testing.assert_allclose(np.asarray(out["mean_disp"]), (2.0, 1.0),
+                               atol=0.5)
+
+
+def test_filter_coords_invalidates_dead_markers():
+    """A dead marker region (reference filter_coords=[18,109]) must drop
+    exactly the cells whose centroid is within filter_threshold."""
+    frame = make_marker_frame()
+    cfg0 = MT.TrackerConfig(grid_rows=7, grid_cols=9, min_cell_mass=4.0)
+    cents, _, valid0 = MT.grid_centroids(MT.marker_mask(frame, cfg0), cfg0)
+    cents = np.asarray(cents)
+    dead = tuple(cents[10])  # kill cell 10's marker
+    cfg = MT.TrackerConfig(grid_rows=7, grid_cols=9, min_cell_mass=4.0,
+                           filter_coords=(dead,), filter_threshold=5.0)
+    _, _, valid = MT.grid_centroids(MT.marker_mask(frame, cfg), cfg)
+    valid = np.asarray(valid)
+    assert int(np.asarray(valid0).sum()) == 63
+    assert not valid[10]
+    assert valid.sum() == 62
+    # and the force path still works with the dead cell excluded
+    baseline = MT.calibrate(frame, cfg)
+    out = MT.estimate_force(make_marker_frame((1.0, 0.0)), baseline, cfg)
+    np.testing.assert_allclose(np.asarray(out["mean_disp"]), (1.0, 0.0),
+                               atol=0.5)

@@ -648,3 +648,42 @@ def test_w4_megakernel_fallbacks_handle_unfriendly_dims(rng):
     np.testing.assert_allclose(np.asarray(y, np.float32),
                                np.asarray(want2, np.float32),
                                rtol=3e-2, atol=5e-2)
+
+
+def test_quantized_predict_int8x_kv_cache(rng):
+    """kv_cache='int8x' (XLA-dequantized int8 condition cache) matches the
+    bf16-cache quant path within KV int8 rounding, and the unrolled solver
+    scan is bit-identical to the rolled one."""
+    params = R.init_rdt(RCFG, jax.random.PRNGKey(0))
+    params["model"]["final_ffn"]["fc2"] = {
+        "kernel": jnp.asarray(rng.normal(
+            size=params["model"]["final_ffn"]["fc2"]["kernel"].shape) * 0.05,
+            jnp.float32),
+        "bias": params["model"]["final_ffn"]["fc2"]["bias"],
+    }
+    qparams = Q.quantize_rdt_params(params)
+
+    m = TINY
+    B, Ll = 1, 7
+    lang = jnp.asarray(rng.normal(size=(B, Ll, m.lang_token_dim)), jnp.float32)
+    lang_mask = jnp.ones((B, Ll), bool)
+    img = jnp.asarray(rng.normal(size=(B, m.img_cond_len, m.img_token_dim)),
+                      jnp.float32)
+    state = jnp.asarray(rng.normal(size=(B, 1, m.state_token_dim)), jnp.float32)
+    amask = jnp.ones((B, 1, m.output_dim), jnp.float32)
+    freqs = jnp.asarray([10.0])
+    args = (lang, lang_mask, img, state, amask, freqs)
+
+    ref = np.asarray(Q.rdt_predict_action_quant(
+        RCFG, qparams, jax.random.PRNGKey(1), *args))
+    got = np.asarray(Q.rdt_predict_action_quant(
+        RCFG, qparams, jax.random.PRNGKey(1), *args, kv_cache="int8x"))
+    rel = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6)
+    assert rel < 0.1, rel
+    corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert corr > 0.99, corr
+
+    unrolled = np.asarray(Q.rdt_predict_action_quant(
+        RCFG, qparams, jax.random.PRNGKey(1), *args, kv_cache="int8x",
+        unroll=8))
+    np.testing.assert_array_equal(unrolled, got)

@@ -161,7 +161,19 @@ def _cross_attn_cached(p, x, kv, mask, num_heads, qd=qdense_any):
     hd = C // num_heads
     q = qd(x, p["q"]).reshape(B, N, num_heads, hd)
     q = _rmsnorm(q, p["q_norm"]["weight"])
-    if len(kv) == 5:
+    if isinstance(kv, dict):
+        # int8 KV cache dequantized by XLA (kv_cache='int8x'): the
+        # convert+scale is an elementwise producer XLA fuses into the
+        # attention matmuls' operand reads, so the per-denoise-step HBM
+        # traffic of the 4374-token condition cache halves WITHOUT a
+        # custom kernel — the lever the two Pallas int8-KV layouts
+        # (below) failed on (transposed: lane-axis AV contraction;
+        # padded: head_dim 64 pads back to bf16-size reads).
+        k_i8, sk, v_i8, sv = kv["x"]
+        k = (k_i8.astype(jnp.float32) * sk[:, None]).astype(jnp.bfloat16)
+        v = (v_i8.astype(jnp.float32) * sv[:, None]).astype(jnp.bfloat16)
+        out = dot_product_attention(q, k, v, kv_mask=mask)
+    elif len(kv) == 5:
         # transposed int8 cache: head_dim on sublanes, so the streamed
         # bytes truly halve at head_dim 64 (the padded variant below reads
         # as many bytes as bf16 there).  MEASURED SLOW at RDT-1B (266 ms vs
@@ -236,6 +248,8 @@ def compute_cond_kv_quant(mp: dict, cfg: RDTModelConfig, lang_c, img_c,
             out.append(quantize_kv(k, kv[:, :, 1]))
         elif kv_cache == "int8t":
             out.append(("t",) + quantize_kv_t(k, kv[:, :, 1]))
+        elif kv_cache == "int8x":
+            out.append({"x": quantize_kv(k, kv[:, :, 1])})
         else:
             out.append((k, kv[:, :, 1]))
     return out
@@ -265,21 +279,26 @@ def forward_cached_quant(mp: dict, cfg: RDTModelConfig, x, freq, t, cond_kv,
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_inference_timesteps",
-                                   "kv_cache", "matmul", "skip_steps"))
+                                   "kv_cache", "matmul", "skip_steps",
+                                   "unroll"))
 def rdt_predict_action_quant(cfg: R.RDTRunnerConfig, qparams, key,
                              lang_tokens, lang_mask, img_tokens, state_tokens,
                              action_mask, ctrl_freqs,
                              num_inference_timesteps: Optional[int] = None,
                              kv_cache: str = "bf16", matmul: str = "xla",
                              prior_chunk=None, skip_steps: int = 0,
-                             init_noise=None):
+                             init_noise=None, unroll: int = 1):
     """Int8 serving twin of :func:`rdt_predict_action` (same signature with a
     quantized parameter tree from :func:`quantize_rdt_params`).
 
     ``kv_cache='int8'`` also quantizes the per-block condition KV cache and
     serves cross-attention through the int8-KV Pallas flash kernel;
+    ``kv_cache='int8x'`` stores the cache int8 but lets XLA dequantize it
+    (fused into the attention operand reads — halves the dominant
+    per-denoise-step KV traffic without a custom kernel);
     ``matmul='pallas'`` runs every quantized matmul through the fused a8w8
-    Pallas kernel instead of XLA's int8 lowering.  ``prior_chunk`` +
+    Pallas kernel instead of XLA's int8 lowering.  ``unroll`` unrolls the
+    solver scan (5 iterations at the serving operating point).  ``prior_chunk`` +
     ``skip_steps`` > 0 warm-start the replan exactly as in
     :func:`rdt_predict_action` (re-noise the shifted previous chunk to the
     solver-tail level)."""
@@ -325,5 +344,6 @@ def rdt_predict_action_quant(cfg: R.RDTRunnerConfig, qparams, key,
             noise_sched, steps, skip_steps)
     action = sched_lib.sample_dpm_solver(
         model_fn, x_init, noise_sched, steps,
-        prediction_type=cfg.noise.prediction_type, start_index=skip_steps)
+        prediction_type=cfg.noise.prediction_type, start_index=skip_steps,
+        unroll=unroll)
     return action * mask_h

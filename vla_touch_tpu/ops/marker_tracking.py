@@ -92,6 +92,25 @@ def morph_open(mask, k: int = 3):
     return _pool(eroded, jax.lax.max, k)
 
 
+def equalize_hist(img):
+    """cv2.equalizeHist on a uint8-valued (H, W) image (float in [0, 255]
+    accepted; values are rounded to bins).
+
+    LUT semantics match cv2: ``lut[i] = round((cdf[i] - cdf_min) /
+    (total - cdf_min) * 255)`` with cdf over the 256-bin histogram and
+    cdf_min the first nonzero cdf value."""
+    xi = jnp.clip(jnp.round(img.astype(jnp.float32)), 0, 255).astype(jnp.int32)
+    hist = jnp.zeros((256,), jnp.int32).at[xi.reshape(-1)].add(1)
+    cdf = jnp.cumsum(hist)
+    # first nonzero cdf value (cv2 skips empty leading bins)
+    cdf_min = jnp.min(jnp.where(hist > 0, cdf, jnp.iinfo(jnp.int32).max))
+    total = xi.size
+    denom = jnp.maximum(total - cdf_min, 1)
+    lut = jnp.round((cdf - cdf_min).astype(jnp.float32) / denom * 255.0)
+    lut = jnp.clip(lut, 0, 255)
+    return lut[xi]
+
+
 @dataclasses.dataclass(frozen=True)
 class TrackerConfig:
     grid_rows: int = 7                 # expected marker grid (7x9 = 63)
@@ -100,6 +119,19 @@ class TrackerConfig:
     blur_ksize: int = 5
     thresh_block: int = 11
     thresh_c: float = 2.0
+    # GelSight sensor variant (reference marker_tracker.py:9,76-77):
+    # 'standard' = adaptive threshold; 'hsr' = the HSR-lighting init path
+    # (invert -> equalizeHist -> blur -> fixed threshold, :116-152).
+    gelsight_version: str = "standard"
+    hsr_threshold: float = 50.0
+    # Dead-marker filter (reference detect_markers(filter_coords=...),
+    # :154,186-201): cells whose centroid falls within filter_threshold px
+    # of any (x, y) coordinate here are marked invalid.  (The reference
+    # computes one summed distance across all coords — a degenerate form
+    # when len > 1; this implementation uses the per-coordinate distance,
+    # which is what the single-coord usage [18, 109] reduces to.)
+    filter_coords: tuple = ()
+    filter_threshold: float = 5.0
 
 
 def marker_mask(frame, cfg: TrackerConfig):
@@ -109,6 +141,15 @@ def marker_mask(frame, cfg: TrackerConfig):
         # cv2 BGR2GRAY weights; inputs are RGB here so order flipped —
         # luminance weighting is symmetric enough for blob masks.
         x = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+    if cfg.gelsight_version == "hsr":
+        # HSR-lighting sensors image markers dark-on-light: invert, flatten
+        # the illumination with histogram equalization, then a FIXED
+        # threshold (markers bright after inversion) instead of the
+        # adaptive one (reference init_HSR, marker_tracker.py:116-152).
+        x = equalize_hist(255.0 - x)
+        x = gaussian_blur(x, cfg.blur_ksize)
+        m = (x > cfg.hsr_threshold).astype(jnp.float32)
+        return morph_open(m)
     x = gaussian_blur(x, cfg.blur_ksize)
     m = adaptive_threshold_inv(x, cfg.thresh_block, cfg.thresh_c)
     return morph_open(m)
@@ -139,6 +180,11 @@ def grid_centroids(mask, cfg: TrackerConfig):
     cents = jnp.stack([cx + ox, cy + oy], axis=-1).reshape(R * C, 2)
     mass = mass.reshape(R * C)
     valid = mass >= cfg.min_cell_mass
+    if cfg.filter_coords:
+        fc = jnp.asarray(cfg.filter_coords, jnp.float32).reshape(-1, 2)
+        d = jnp.linalg.norm(cents[:, None, :] - fc[None, :, :], axis=-1)
+        valid = jnp.logical_and(valid,
+                                jnp.all(d >= cfg.filter_threshold, axis=1))
     return cents, mass, valid
 
 

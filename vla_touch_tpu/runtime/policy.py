@@ -110,8 +110,19 @@ def _encode_frames(cfg: PolicyConfig, vision_params, images, image_mask,
     x = jnp.where(image_mask[:, :, None, None, None], x, 0.0)  # bg = mean
     S = cfg.image_size
     flat = x.reshape(B * nf, S, S, 3)
-    tokens = SiglipVisionEncoder(cfg.vision, dtype=dtype).apply(
-        {"params": vision_params}, flat)            # (B*nf, 729, 1152)
+    # A vision tree prepared by vit_serve.quantize_vit_params (int8 w8a8
+    # blocks, or bf16 with the fused head-grouped attention) routes to the
+    # serving twin — structure-dispatched, zero runtime cost (tree
+    # structure is static under jit).
+    from vla_touch_tpu.models.encoders.vit_serve import (
+        is_vit_serve_tree, vit_encode_serve)
+
+    if is_vit_serve_tree(vision_params):
+        tokens = vit_encode_serve(cfg.vision, vision_params, flat,
+                                  dtype=dtype)
+    else:
+        tokens = SiglipVisionEncoder(cfg.vision, dtype=dtype).apply(
+            {"params": vision_params}, flat)        # (B*nf, 729, 1152)
     return tokens.reshape(B, -1, tokens.shape[-1])
 
 
