@@ -30,11 +30,18 @@ def test_overlaps_production_with_consumption():
         time.sleep(0.05)
         return {"x": np.zeros(1)}
 
-    t0 = time.perf_counter()
-    with PrefetchLoader(make, depth=4, workers=4, num_batches=8) as loader:
-        for b in loader:
-            time.sleep(0.05)  # "compute"
-    elapsed = time.perf_counter() - t0
+    # Best of 3 runs: on a loaded 1-core CI host a single run can lose
+    # ~0.3s to scheduler noise and read as serial; the overlap property
+    # only needs to show up once.
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        with PrefetchLoader(make, depth=4, workers=4, num_batches=8) as loader:
+            for b in loader:
+                time.sleep(0.05)  # "compute"
+        elapsed = min(elapsed, time.perf_counter() - t0)
+        if elapsed < 0.7:
+            break
     # Serial would be 8*(0.05+0.05)=0.8s; overlapped ~0.45s.
     assert elapsed < 0.7, elapsed
 

@@ -238,6 +238,11 @@ class BridgeTrainConfig:
     val_ratio: float = 0.1
     ckpt_period_epochs: int = 50
     seed: int = 42
+    # 'h5' (VLA-augmented hdf5) or 'epc' (native episode cache, GIL-free
+    # decode); prefetch_workers > 0 assembles batches in a bounded thread
+    # pool (data/pipeline.py::OrderedPrefetcher).
+    data_format: str = "h5"
+    prefetch_workers: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -252,3 +257,5 @@ class LSTMTrainConfig:
     eval_period_epochs: int = 5
     val_ratio: float = 0.1
     seed: int = 42
+    data_format: str = "h5"       # see BridgeTrainConfig
+    prefetch_workers: int = 0

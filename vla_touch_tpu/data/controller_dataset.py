@@ -15,18 +15,28 @@ over VLA-augmented episodes with
 - global per-dim min/max stats over all files (``:175-236``);
 - deterministic train/val file split (``ControllerDataModule`` :386-491``).
 
+Episodes are read through :class:`vla_touch_tpu.data.episode.EpisodeFile`,
+so the same dataset serves the VLA-augmented ``.h5`` files AND the native
+``.epc`` caches (``data_format='epc'``, packed by ``data/pack_epc.py``
+with ``--use_resized``): frames then decode through the GIL-free threaded
+C++ JPEG path (or memcpy for ``codec='raw'``, which is byte-identical to
+h5 — gated in ``tests/test_native_loader.py``).
+
 Batches are plain numpy dicts; device placement happens in the trainer.
+``batches(..., workers=N)`` assembles them in a bounded prefetch thread
+pool (``data/pipeline.py``) — with `.epc` episodes the decode runs off the
+GIL, so builder threads scale on multi-core hosts.
 """
 
 from __future__ import annotations
 
 from typing import Optional, Sequence
 
-import h5py
 import numpy as np
 
 from vla_touch_tpu.data.episode import (
     GRIPPER_SCALE,
+    EpisodeFile,
     list_episode_files,
     qpos_from_episode,
 )
@@ -36,10 +46,12 @@ class ControllerDataset:
     def __init__(self, data_dir: Optional[str] = None,
                  file_paths: Optional[Sequence[str]] = None,
                  context_frames: int = 2, horizon: int = 8,
-                 use_images: bool = True, stride: int = 1):
+                 use_images: bool = True, stride: int = 1,
+                 data_format: str = "h5"):
         assert data_dir or file_paths
+        pattern = (".epc",) if data_format == "epc" else (".h5",)
         self.file_paths = (list(file_paths) if file_paths
-                           else list_episode_files(data_dir))
+                           else list_episode_files(data_dir, pattern=pattern))
         self.context_frames = context_frames
         self.horizon = horizon
         self.use_images = use_images
@@ -47,13 +59,21 @@ class ControllerDataset:
         self._build_index()
         self.stats = self.get_normalization_stats()
 
+    def _cam_key(self, f: EpisodeFile, cam: int) -> str:
+        # The VLA-augmented h5s carry the distillation pass's 384² frames
+        # under camera{N}_resized; an .epc packed with --use_resized holds
+        # the same frames as its camera streams.
+        return (f"camera{cam}/camera{cam}" if f.is_epc
+                else f"camera{cam}_resized")
+
     def _build_index(self):
         self.episode_indices = []
         for file_idx, path in enumerate(self.file_paths):
-            with h5py.File(path, "r") as f:
-                qpos = np.asarray(f["ee_poses"])
-                n = qpos.shape[0]
-                delta = np.abs(qpos - qpos[0:1])
+            with EpisodeFile(path) as f:
+                ref = np.asarray(f["ee_poses"] if "ee_poses" in f
+                                 else f["qpos"])
+                n = ref.shape[0]
+                delta = np.abs(ref - ref[0:1])
                 idx = np.where(np.any(delta > 1e-2, axis=1))[0]
                 if len(idx) == 0:
                     continue
@@ -67,31 +87,37 @@ class ControllerDataset:
     def __getitem__(self, i: int) -> dict:
         file_idx, start = self.episode_indices[i]
         ctx, hor = self.context_frames, self.horizon
-        with h5py.File(self.file_paths[file_idx], "r") as f:
+        with EpisodeFile(self.file_paths[file_idx]) as f:
             qpos = qpos_from_episode(f)[start:start + ctx + hor]
             future = qpos[ctx:].copy()
             future[:, -1] /= GRIPPER_SCALE  # rescale actions, not observations
 
-            vla = np.asarray(f["vla_action"][start + ctx], np.float64)[:hor].copy()
+            # f32 is the canonical VLA dtype (the .epc cache stores f32;
+            # casting h5's f64 BEFORE the gripper rescale keeps the two
+            # paths byte-identical).
+            vla = np.asarray(f["vla_action"][start + ctx],
+                             np.float32)[:hor].copy()
             vla[:, -1] /= GRIPPER_SCALE
 
-            forces = np.asarray(f["gelsight_force"]["forces"]
+            forces = np.asarray(f["gelsight_force/forces"]
                                 [start:start + ctx + hor], np.float32)
-            disps = np.asarray(f["gelsight_force"]["displacement"]
+            disps = np.asarray(f["gelsight_force/displacement"]
                                [start:start + ctx + hor], np.float32)
 
             out = {
                 "states": qpos.astype(np.float32),
-                "vla_actions": vla.astype(np.float32),
+                "vla_actions": vla,
                 "expert_actions": future.astype(np.float32),
                 "forces": forces,
                 "disps": disps,
             }
             if self.use_images:
                 out["images_cam1"] = np.asarray(
-                    f["camera1_resized"][start:start + ctx], np.float32) / 255.0
+                    f[self._cam_key(f, 1)][start:start + ctx],
+                    np.float32) / 255.0
                 out["images_cam2"] = np.asarray(
-                    f["camera2_resized"][start:start + ctx], np.float32) / 255.0
+                    f[self._cam_key(f, 2)][start:start + ctx],
+                    np.float32) / 255.0
         return out
 
     def get_normalization_stats(self) -> dict:
@@ -101,10 +127,10 @@ class ControllerDataset:
         v_min = np.full(d, np.inf)
         v_max = np.full(d, -np.inf)
         for path in self.file_paths:
-            with h5py.File(path, "r") as f:
+            with EpisodeFile(path) as f:
                 expert = qpos_from_episode(f)
                 expert[:, -1] /= GRIPPER_SCALE
-                vla = np.asarray(f["vla_action"], np.float64).copy()
+                vla = np.asarray(f["vla_action"], np.float32).copy()
                 vla[:, :, -1] /= GRIPPER_SCALE
                 a_min = np.minimum(a_min, expert.min(0))
                 a_max = np.maximum(a_max, expert.max(0))
@@ -125,18 +151,38 @@ class ControllerDataset:
         }
 
     def batches(self, batch_size: int, rng: np.random.Generator,
-                shuffle: bool = True, drop_last: bool = True):
-        """Yield stacked numpy batch dicts."""
+                shuffle: bool = True, drop_last: bool = True,
+                workers: int = 0, prefetch_depth: int = 2):
+        """Yield stacked numpy batch dicts.
+
+        ``workers`` > 0 assembles batches in a bounded prefetch thread
+        pool (``data/pipeline.py::PrefetchLoader``) so IO/decode overlaps
+        the training step; the batch ORDER and CONTENTS are identical to
+        the in-line path (each pool task builds one whole batch, and the
+        loader yields in submission order)."""
         order = np.arange(len(self))
         if shuffle:
             rng.shuffle(order)
         end = len(order) - (len(order) % batch_size if drop_last else 0)
-        for i in range(0, end, batch_size):
-            idxs = order[i:i + batch_size]
-            if len(idxs) < batch_size and drop_last:
-                break
+        starts = [order[i:i + batch_size] for i in range(0, end, batch_size)
+                  if not (len(order[i:i + batch_size]) < batch_size
+                          and drop_last)]
+
+        def build(idxs):
             samples = [self[int(j)] for j in idxs]
-            yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+            return {k: np.stack([s[k] for s in samples])
+                    for k in samples[0]}
+
+        if workers <= 0:
+            for idxs in starts:
+                yield build(idxs)
+            return
+
+        from vla_touch_tpu.data.pipeline import OrderedPrefetcher
+
+        with OrderedPrefetcher(build, starts, workers=workers,
+                               depth=prefetch_depth) as loader:
+            yield from loader
 
 
 class ControllerDataModule:
@@ -144,8 +190,9 @@ class ControllerDataModule:
 
     def __init__(self, data_dir: str, context_frames: int = 2, horizon: int = 8,
                  use_images: bool = True, val_ratio: float = 0.1,
-                 stride: int = 1, seed: int = 42):
-        files = list_episode_files(data_dir)
+                 stride: int = 1, seed: int = 42, data_format: str = "h5"):
+        pattern = (".epc",) if data_format == "epc" else (".h5",)
+        files = list_episode_files(data_dir, pattern=pattern)
         rng = np.random.default_rng(seed)
         order = rng.permutation(len(files))
         n_val = max(1, int(len(files) * val_ratio)) if len(files) > 1 else 0

@@ -91,6 +91,35 @@ class _EpcFrames:
         return out if dtype is None else out.astype(dtype)
 
 
+class _EpcVla:
+    """Lazy h5-dataset-like view over the per-step VLA chunks of a native
+    .epc cache: integer indexing reads ONE (chunk, D) record (the
+    controller dataset's per-sample access,
+    controller_dataset.py ``f['vla_action'][start + ctx]``) instead of
+    materializing the full (T, chunk, D) stack."""
+
+    def __init__(self, cache):
+        self._cache = cache
+        self.shape = (cache.T, cache.chunk, cache.state_dim)
+
+    def __len__(self):
+        return self.shape[0]
+
+    def __getitem__(self, idx):
+        if isinstance(idx, (int, np.integer)):
+            return self._cache.read_window(int(idx), 1,
+                                           vla_at=int(idx))["vla"]
+        start, stop, step = idx.indices(self.shape[0])
+        if step != 1:
+            raise IndexError("only contiguous slices supported")
+        return np.stack([self[t] for t in range(start, stop)]) \
+            if stop > start else np.zeros((0,) + self.shape[1:], np.float32)
+
+    def __array__(self, dtype=None):
+        out = self[0:self.shape[0]]
+        return out if dtype is None else out.astype(dtype)
+
+
 class EpisodeFile:
     """Uniform read access over h5, npz and native ``.epc`` episodes (≙ the
     reference's ``UnifiedDataInterface``,
@@ -170,8 +199,7 @@ class EpisodeFile:
         if key == "gelsight_force/displacement":
             return c.read_window(0, c.T)["disps"]
         if key == "vla_action":
-            return np.stack([c.read_window(t, 1, vla_at=t)["vla"]
-                             for t in range(c.T)])
+            return _EpcVla(c)
         for i in range(c.n_cams):
             if key == f"camera{i + 1}/camera{i + 1}":
                 return _EpcFrames(c, i)

@@ -27,14 +27,20 @@ from vla_touch_tpu.runtime.native_loader import pack_episode
 
 
 def pack_dataset(data_dir: str, out_dir: str | None = None,
-                 codec: str = "jpeg", quality: int = 90) -> list:
+                 codec: str = "jpeg", quality: int = 90,
+                 use_resized: bool = False) -> list:
+    """``use_resized`` packs the distillation pass's ``camera{N}_resized``
+    frames as the camera streams — the layout the CONTROLLER trainers
+    consume (``ControllerDataset(data_format='epc')``,
+    ``bridge_train/lstm_train --data_format epc``)."""
     out_dir = out_dir or data_dir
     os.makedirs(out_dir, exist_ok=True)
     outs = []
     for p in list_episode_files(data_dir, pattern=(".h5",)):
         stem = os.path.splitext(os.path.basename(p))[0]
         out = os.path.join(out_dir, stem + ".epc")
-        pack_episode(p, out, jpeg_quality=quality, codec=codec)
+        pack_episode(p, out, jpeg_quality=quality, codec=codec,
+                     use_resized=use_resized)
         outs.append(out)
     return outs
 
@@ -45,8 +51,11 @@ def main(argv=None):
     ap.add_argument("--out", default=None)
     ap.add_argument("--codec", default="jpeg", choices=("jpeg", "raw"))
     ap.add_argument("--quality", type=int, default=90)
+    ap.add_argument("--use_resized", action="store_true",
+                    help="pack camera{N}_resized (controller-trainer layout)")
     args = ap.parse_args(argv)
-    outs = pack_dataset(args.data_dir, args.out, args.codec, args.quality)
+    outs = pack_dataset(args.data_dir, args.out, args.codec, args.quality,
+                        use_resized=args.use_resized)
     for o in outs:
         print(o)
     print(f"packed {len(outs)} episodes")

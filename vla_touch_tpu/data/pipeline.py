@@ -16,9 +16,10 @@ entirely.
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
-from typing import Callable, Optional
+from typing import Callable, Iterable, Optional
 
 
 class PrefetchLoader:
@@ -118,6 +119,59 @@ class PrefetchLoader:
                 self._q.get_nowait()
         except queue.Empty:
             pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+class OrderedPrefetcher:
+    """Map ``fn`` over ``tasks`` with a thread pool, yielding results IN
+    TASK ORDER with a bounded number in flight.
+
+    Unlike :class:`PrefetchLoader` (free-running builders, arrival order),
+    this is the drop-in for epoch-style loops whose batch sequence must be
+    deterministic (``ControllerDataset.batches(workers=N)``): identical
+    output to the serial path, with assembly overlapped.  ``depth`` extra
+    tasks are kept in flight beyond the worker count."""
+
+    def __init__(self, fn: Callable, tasks: Iterable, workers: int = 2,
+                 depth: int = 2):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._fn = fn
+        self._tasks = iter(tasks)
+        self._inflight = max(1, workers) + max(0, depth)
+        self._pool = ThreadPoolExecutor(max_workers=max(1, workers))
+        self._futures: collections.deque = collections.deque()
+
+    def _fill(self):
+        while len(self._futures) < self._inflight:
+            try:
+                t = next(self._tasks)
+            except StopIteration:
+                return
+            self._futures.append(self._pool.submit(self._fn, t))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        self._fill()
+        if not self._futures:
+            raise StopIteration
+        out = self._futures.popleft().result()  # re-raises builder errors
+        self._fill()
+        return out
+
+    def close(self):
+        for f in self._futures:
+            f.cancel()
+        self._futures.clear()
+        self._pool.shutdown(wait=False)
 
     def __enter__(self):
         return self

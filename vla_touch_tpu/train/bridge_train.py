@@ -144,7 +144,8 @@ class DiffusionControllerTrainer:
         t0 = time.time()
         for epoch in range(num_epochs):
             for batch in data_module.train_dataset.batches(
-                    tcfg.batch_size, rng):
+                    tcfg.batch_size, rng,
+                    workers=tcfg.prefetch_workers):
                 self.key, k = jax.random.split(self.key)
                 dev_batch = self.prepare_batch(batch)
                 hp = {"lr": self._lr(step, total_steps),
@@ -208,7 +209,8 @@ def train_diffusion_controller_with_dataset(
     dm = ControllerDataModule(data_dir, context_frames=ccfg.context_frames,
                               horizon=ccfg.horizon,
                               use_images=ccfg.use_visual,
-                              val_ratio=tcfg.val_ratio, seed=tcfg.seed)
+                              val_ratio=tcfg.val_ratio, seed=tcfg.seed,
+                              data_format=tcfg.data_format)
     trainer = DiffusionControllerTrainer(ccfg, tcfg, output_dir,
                                          stats=dm.stats,
                                          image_encoder_params=image_encoder_params,
@@ -232,6 +234,8 @@ def main(argv=None):
     p.add_argument("--no_visual", action="store_true")
     p.add_argument("--image_model", default="dinov2-small")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--data_format", default="h5", choices=("h5", "epc"))
+    p.add_argument("--prefetch_workers", type=int, default=0)
     args = p.parse_args(argv)
 
     from vla_touch_tpu.config import InterpolantConfig
@@ -242,7 +246,8 @@ def main(argv=None):
         interpolant=InterpolantConfig(beta_max=args.beta_max))
     tcfg = BridgeTrainConfig(horizon=args.horizon, batch_size=args.batch_size,
                              epochs=args.epochs, learning_rate=args.lr,
-                             seed=args.seed)
+                             seed=args.seed, data_format=args.data_format,
+                             prefetch_workers=args.prefetch_workers)
     logging.basicConfig(level=logging.INFO)
     train_diffusion_controller_with_dataset(args.data_dir, args.output_dir,
                                             ccfg, tcfg)

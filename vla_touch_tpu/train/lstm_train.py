@@ -110,7 +110,8 @@ class LSTMControllerTrainer:
         step, t0 = 0, time.time()
         for epoch in range(num_epochs):
             for batch in data_module.train_dataset.batches(
-                    min(tcfg.batch_size, len(data_module.train_dataset)), rng):
+                    min(tcfg.batch_size, len(data_module.train_dataset)), rng,
+                    workers=tcfg.prefetch_workers):
                 self.key, k = jax.random.split(self.key)
                 dev_batch = self.prepare_batch(batch)
                 self.state.params, self.opt_state, loss = _train_step(
@@ -157,7 +158,7 @@ def train_lstm_controller_with_dataset(
     tcfg = tcfg or LSTMTrainConfig()
     dm = ControllerDataModule(data_dir, context_frames=2, horizon=tcfg.horizon,
                               use_images=True, val_ratio=tcfg.val_ratio,
-                              seed=tcfg.seed)
+                              seed=tcfg.seed, data_format=tcfg.data_format)
     trainer = LSTMControllerTrainer(ccfg, tcfg, output_dir, stats=dm.stats,
                                     image_encoder_params=image_encoder_params,
                                     seed=tcfg.seed)
@@ -176,11 +177,14 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--data_format", default="h5", choices=("h5", "epc"))
+    p.add_argument("--prefetch_workers", type=int, default=0)
     args = p.parse_args(argv)
     ccfg = LSTMControllerConfig()
     tcfg = LSTMTrainConfig(horizon=args.horizon, batch_size=args.batch_size,
                            epochs=args.epochs, learning_rate=args.lr,
-                           seed=args.seed)
+                           seed=args.seed, data_format=args.data_format,
+                           prefetch_workers=args.prefetch_workers)
     logging.basicConfig(level=logging.INFO)
     train_lstm_controller_with_dataset(args.data_dir, args.output_dir, ccfg,
                                        tcfg)
