@@ -13,28 +13,58 @@ on host).
 Serving tiers (each behind the same parity gate — refined-chunk
 correlation > 0.999 vs the bf16 pipeline; the headline is the fastest
 tier that PASSES):
-  bf16      — full-precision cached-KV serving;
-  int8      — per-channel int8 weights (quant_serve.py), XLA int8 matmuls;
-  int8+kv8  — plus int8 cross-attn KV projections (cuts ~2 ms off the
-              one-time cond-KV build at ~1% KV error);
-  int4      — grouped int4 weights (MSE clip search) through the
-              nibble-streaming Pallas kernel.  MEASURED NEGATIVE on
-              parity: 4-bit uniform quantization of Gaussian-class
-              weights has an ~11% per-matmul error floor that lands the
-              chunk at corr ≈ 0.990 (tools/bench_rdt_tiers.py sweep:
-              all-w4 0.9899, ffn-only w4 0.9975, half-the-blocks-ffn
-              0.9989 — every mix < 0.999), so it is reported but expected
-              to fail the gate; the parity floor of this denoise loop is
-              int8.
+  bf16          — full-precision cached-KV serving;
+  int8          — per-channel int8 weights (quant_serve.py), XLA int8
+                  matmuls;
+  int8+kv8      — plus int8 cross-attn KV projections (cuts ~2 ms off the
+                  one-time cond-KV build at ~1% KV error);
+  int8+kv8+kvx8 — plus the condition KV CACHE stored int8 and dequantized
+                  by XLA inside the attention reads (halves the dominant
+                  per-denoise-step KV traffic; measured marginal
+                  2.24 → 1.91 ms/step);
+  int4          — grouped int4 weights (MSE clip search) through the
+                  nibble-streaming Pallas kernel.  MEASURED NEGATIVE on
+                  parity: 4-bit uniform quantization of Gaussian-class
+                  weights has an ~11% per-matmul error floor that lands
+                  the chunk at corr ≈ 0.990 (tools/bench_rdt_tiers.py
+                  sweep) — reported but expected to fail the gate; the
+                  parity floor of this denoise loop is int8.
 
-Beyond the chunk latency, the driver JSON carries the FULL CONTROL TICK
-(VERDICT r3 #3) — SigLIP-encoding the 6 camera frames + RDT chunk +
-BRIDGeR refine, exactly the reference hot path
-``/root/reference/VLA/scripts/franka_model_eef.py:224-313`` — cold and in
-the steady-state replan operating point (t-1 SigLIP token cache + solver
-warm start, runtime/policy.py::policy_step_cached_warm), plus a per-stage
-breakdown and roofline utilizations (the B=1 denoise loop is
-weight-streaming bound; the cond-KV build is MXU-bound).
+The FULL CONTROL TICK is now actually full (VERDICT r4 #4): SigLIP on the
+6 camera frames + RDT chunk + the BRIDGeR conditioning encode (DinoV2
+pair + on-device GelSight marker-track force extraction) + the 10-step
+refine, exactly the reference hot path
+``/root/reference/VLA/scripts/franka_model_eef.py:224-313`` followed by
+``/root/reference/VLA/residual_controller/bridge_controller.py:105-134``
+(which encodes BOTH DinoV2 CLS embeddings and consumes the marker-tracker
+force inside ``predict``).  The SigLIP stage has its own serving tiers
+(VERDICT r4 #1):
+  flax bf16        — the training tower (41.7 ms / 6 imgs measured);
+  serve bf16       — vit_serve twin, head-group-chunked attention
+                     (33.6 ms);
+  serve int8 w8a8  — block matmuls on the int8 MXU path (25.5 ms).
+Gating is two-level (both published): token corr > 0.999 against the flax
+tower, plus the end-to-end chunk corr measured against a CONTROL — the
+serve-bf16 twin, which is the identical math reordered, pins the chunk-
+level chaos floor that this bench's random weights impose on ANY vision
+rounding change (see the in-code gate comment).
+
+Steady-state operating point: t-1 SigLIP token cache + solver warm start.
+The warm replan now carries a QUALITY field (VERDICT r4 #8):
+``warm2_chunk_corr_vs_cold`` = corr of the warm-started refined chunk vs
+the cold chunk at the same key; the warm skip count used by the headline
+is reduced until that corr passes 0.999.
+
+Roofline (VERDICT r4 #2/#3): the denoise stage is attributed by MARGINAL
+cost — chunk-only pipelines at 5 vs 1 solver steps give ms/step (slope)
+and the fixed replan cost (intercept); ``stage_ms.rdt_denoise_5step`` is
+5× the marginal and ``stage_ms.replan_fixed`` the intercept, so the JSON
+and the measured numbers tell one story.  HBM utilization divides by ALL
+streamed bytes (int8 weights + the condition KV cache the loop re-reads
+every step — the r4 number omitted the cache and read 0.40 for a loop
+that is actually near the streaming bound).  MXU utilization uses
+dtype-aware peaks (ideal time = Σ flops_i / peak_dtype_i; the r4 value
+divided int8-path FLOPs by the bf16 peak and printed 1.275).
 
 ``vs_baseline`` is MEASURED÷MEASURED on the same chip: the denominator is
 our headline path, the numerator is the reference's serving algorithm
@@ -63,6 +93,7 @@ import numpy as np
 REFERENCE_A100_MS_ESTIMATE = 200.0
 V5E_HBM_GBPS = 819.0           # v5e HBM bandwidth (roofline denominator)
 V5E_BF16_TFLOPS = 197.0        # v5e MXU bf16 peak
+V5E_INT8_TOPS = 394.0          # v5e MXU int8 peak (2x bf16)
 
 # Self-check knobs (the driver runs the defaults): VLA_BENCH_CONFIG=tiny
 # exercises every pipeline/stage at toy scale on CPU in ~2 min.
@@ -73,13 +104,25 @@ _ITERS = int(os.environ.get("VLA_BENCH_ITERS", "10"))
 
 def main():
     import jax
+
+    # Persistent compilation cache: the ~25 jitted programs here (several
+    # over the full 1.2B tree) dominate wall-clock on a cold run; cached
+    # executables cut repeat runs from ~1h to minutes.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/vla_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from vla_touch_tpu.config import (
         BridgeControllerConfig, NoiseSchedulerConfig, rdt_1b, rdt_tiny)
     from vla_touch_tpu.models.controllers import bridge as BR
+    from vla_touch_tpu.models.encoders import vit_serve as VS
+    from vla_touch_tpu.models.encoders.vit import DINOV2_SMALL, DinoV2Encoder, ViTConfig
     from vla_touch_tpu.models.rdt import quant_serve as Q
     from vla_touch_tpu.models.rdt import runner as R
+    from vla_touch_tpu.ops import marker_tracking as MT
 
     rng = np.random.default_rng(0)
     mk = rdt_tiny if _CONFIG == "tiny" else rdt_1b
@@ -122,25 +165,67 @@ def main():
     freqs = jnp.full((B,), 10.0, jnp.float32)
 
     state10 = jnp.asarray(rng.normal(size=(B, 10)), jnp.float32)
-    cam1 = jnp.asarray(rng.normal(size=(B, bcfg.visual_dim)), jnp.float32)
-    cam2 = jnp.asarray(rng.normal(size=(B, bcfg.visual_dim)), jnp.float32)
     forces = jnp.asarray(rng.normal(size=(B, 3)), jnp.float32)
 
+    # ---- BRIDGeR conditioning inputs: DinoV2 pair + GelSight marker
+    # tracking (the reference encodes both INSIDE predict,
+    # bridge_controller.py:105-134; force comes from the tracker,
+    # marker_tracker.py:342-373) ------------------------------------------
+    if _CONFIG == "tiny":
+        dcfg = ViTConfig(hidden_size=bcfg.visual_dim, num_layers=1,
+                         num_heads=4, mlp_dim=64, image_size=28,
+                         patch_size=14, use_cls_token=True,
+                         use_layerscale=True, gelu_tanh=False)
+        DS, GH, GW = 28, 70, 90
+    else:
+        dcfg = DINOV2_SMALL
+        DS, GH, GW = 384, 240, 320       # dino input / GelSight frame dims
+    dparams = jax.jit(DinoV2Encoder(dcfg, dtype=jnp.bfloat16).init)(
+        jax.random.PRNGKey(3),
+        jnp.zeros((1, DS, DS, 3), jnp.bfloat16))["params"]
+    dino_frames = jnp.asarray(rng.integers(0, 256, (2 * B, DS, DS, 3)),
+                              jnp.uint8)
+    tcfg = MT.TrackerConfig()
+    gel0 = jnp.asarray(rng.integers(0, 256, (GH, GW)).astype(np.float32))
+    gel = jnp.asarray(rng.integers(0, 256, (GH, GW)).astype(np.float32))
+    gel_baseline = MT.calibrate(gel0, tcfg)     # once per episode (host)
+
+    _dino_mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+    _dino_std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+    def bridge_cond(dp, gel_frame):
+        """The conditioning encode the reference runs per refine: two
+        DinoV2-small CLS embeddings (batched as one forward) + the
+        marker-track force 3-vector, all on device."""
+        x = dino_frames.astype(jnp.float32) / 255.0
+        x = (x - _dino_mean) / _dino_std
+        feats = DinoV2Encoder(dcfg, dtype=jnp.bfloat16).apply(
+            {"params": dp}, x.astype(jnp.bfloat16))       # (2B, 384)
+        feats = feats.astype(jnp.float32)
+        cam1_f, cam2_f = feats[:B], feats[B:]
+        f = MT.estimate_force(gel_frame, gel_baseline, tcfg)["force"]
+        return cam1_f, cam2_f, jnp.broadcast_to(f[None], (B, 3))
+
+    def refine(b_params, ema_shadow, key, state10_in, vla10, dp, gel_frame):
+        cam1_f, cam2_f, force = bridge_cond(dp, gel_frame)
+        return BR.bridge_predict(bcfg, b_params, ema_shadow, stats, key,
+                                 state10_in, vla10, cam1_feat=cam1_f,
+                                 cam2_feat=cam2_f, forces=force)
+
     # One fused dispatch per control tick: the full RDT denoise + BRIDGeR
-    # refine compiled together, with parameters as explicit arguments (an
-    # outer jit over closures would capture 2.4GB of bf16 weights as
-    # lowering constants).
+    # conditioning + refine compiled together, with parameters as explicit
+    # arguments (an outer jit over closures would capture 2.4GB of bf16
+    # weights as lowering constants).
     def make_pipeline(chunk_fn):
         @jax.jit
-        def pipeline(rdt_p, b_params, ema_shadow, key, state10_in):
+        def pipeline(rdt_p, b_params, ema_shadow, dp, key, state10_in):
             k1, k2 = jax.random.split(key)
             chunk128 = chunk_fn(rdt_p, k1)
             # Take the 10 Franka dims of the first 16 steps for refinement
             # (the deployment loop refines the executed sub-chunk).
             vla10 = chunk128[:, : bcfg.horizon, 30:40].astype(jnp.float32)
-            return BR.bridge_predict(bcfg, b_params, ema_shadow, stats,
-                                     k2, state10_in, vla10, cam1_feat=cam1,
-                                     cam2_feat=cam2, forces=forces)
+            return refine(b_params, ema_shadow, k2, state10_in, vla10, dp,
+                          gel)
         return pipeline
 
     pipeline = make_pipeline(lambda p, k: R.rdt_predict_action(
@@ -151,36 +236,45 @@ def main():
     pipeline_ref_style = make_pipeline(
         lambda p, k: R.rdt_predict_action_reference_style(
             rcfg, p, k, lang, lang_mask, img, state128, amask, freqs))
-    pipeline_q8 = make_pipeline(lambda p, k: Q.rdt_predict_action_quant(
-        rcfg, p, k, lang, lang_mask, img, state128, amask, freqs))
+
+    def quant_chunk(kv_cache):
+        return lambda p, k: Q.rdt_predict_action_quant(
+            rcfg, p, k, lang, lang_mask, img, state128, amask, freqs,
+            kv_cache=kv_cache)
+
+    pipeline_q8 = make_pipeline(quant_chunk("bf16"))
+    pipeline_q8_kvx = make_pipeline(quant_chunk("int8x"))
+    # the nibble-streaming kernel needs the TPU backend; the tiny CPU
+    # self-check exercises the same tier through XLA's grouped-int4 path
+    _w4_matmul = "xla" if _CONFIG == "tiny" else "pallas"
     pipeline_w4 = make_pipeline(lambda p, k: Q.rdt_predict_action_quant(
         rcfg, p, k, lang, lang_mask, img, state128, amask, freqs,
-        matmul="pallas"))
+        matmul=_w4_matmul))
 
     # Steady-state replan: the deployment loop replans every 16 executed
     # ticks, warm-starting the solver from the previous chunk shifted by
-    # those ticks (partial denoising, skip 2 of 5 steps).  Chained the same
-    # way — each tick consumes the previous refined state AND feeds its own
-    # chunk forward as the next prior.
+    # those ticks (partial denoising, skipping solver-head steps).  Chained
+    # the same way — each tick consumes the previous refined state AND
+    # feeds its own chunk forward as the next prior.
     SHIFT = 16 if m.horizon >= 32 else max(m.horizon // 2, 1)
 
-    @jax.jit
-    def pipeline_q8_warm(qp, b_params, ema_shadow, key, state10_in, prior128):
-        k1, k2 = jax.random.split(key)
-        chunk128 = Q.rdt_predict_action_quant(
-            rcfg, qp, k1, lang, lang_mask, img, state128, amask, freqs,
-            prior_chunk=prior128, skip_steps=2)
-        vla10 = chunk128[:, : bcfg.horizon, 30:40].astype(jnp.float32)
-        refined = BR.bridge_predict(bcfg, b_params, ema_shadow, stats,
-                                    k2, state10_in, vla10, cam1_feat=cam1,
-                                    cam2_feat=cam2, forces=forces)
-        # shift by the 16 executed ticks and hold the last action — the
-        # control loop's prior semantics (runtime/control_loop.py tick());
-        # a roll would wrap stale start-of-chunk actions onto the tail
-        next_prior = jnp.concatenate(
-            [chunk128[:, SHIFT:],
-             jnp.repeat(chunk128[:, -1:], SHIFT, axis=1)], axis=1)
-        return refined, next_prior
+    def make_warm_pipeline(skip, kv_cache):
+        @jax.jit
+        def warm(qp, b_params, ema_shadow, dp, key, state10_in, prior128):
+            k1, k2 = jax.random.split(key)
+            chunk128 = head_chunk(qp, k1, state128, prior=prior128,
+                                  skip=skip)
+            vla10 = chunk128[:, : bcfg.horizon, 30:40].astype(jnp.float32)
+            refined = refine(b_params, ema_shadow, k2, state10_in, vla10,
+                             dp, gel)
+            # shift by the 16 executed ticks and hold the last action — the
+            # control loop's prior semantics (runtime/control_loop.py);
+            # a roll would wrap stale start-of-chunk actions onto the tail
+            next_prior = jnp.concatenate(
+                [chunk128[:, SHIFT:],
+                 jnp.repeat(chunk128[:, -1:], SHIFT, axis=1)], axis=1)
+            return refined, next_prior
+        return warm
 
     # The deployment control loop is device-resident (HBM conditioning
     # buffers, scan-compiled samplers); the host only reads tiny action
@@ -208,7 +302,7 @@ def main():
 
     def cold_tick(fn, rdt_p):
         def tick(key, s):
-            refined = fn(rdt_p, bst.params, bst.ema.shadow, key, s)
+            refined = fn(rdt_p, bst.params, bst.ema.shadow, dparams, key, s)
             return refined, refined[:, 0, :]  # true sequential dependence
         return tick
 
@@ -216,46 +310,140 @@ def main():
     p50_ref_style = measure(cold_tick(pipeline_ref_style, params), state10)
     p50_q8 = measure(cold_tick(pipeline_q8, qparams), state10)
     p50_kv8 = measure(cold_tick(pipeline_q8, qparams_kv8), state10)
+    p50_kvx = measure(cold_tick(pipeline_q8_kvx, qparams_kv8), state10)
     p50_w4 = measure(cold_tick(pipeline_w4, qparams_w4), state10)
-
-    def warm_tick(key, carry):
-        s, prior = carry
-        refined, prior = pipeline_q8_warm(qparams, bst.params,
-                                          bst.ema.shadow, key, s, prior)
-        return refined, (refined[:, 0, :], prior)
-
-    prior0 = jnp.zeros((B, m.horizon, m.output_dim), jnp.float32)
-    p50_q8_warm = measure(warm_tick, (state10, prior0))
 
     # Serving-parity gates: each quantized tier's refined chunk must stay
     # directionally identical to the bf16 pipeline (the <1e-3 cross-
     # framework parity itself is asserted at f32 in test_golden_parity.py).
     k = jax.random.PRNGKey(123)
-    ref_out = np.asarray(pipeline(params, bst.params, bst.ema.shadow, k,
-                                  state10), np.float32)
+    ref_out = np.asarray(pipeline(params, bst.params, bst.ema.shadow,
+                                  dparams, k, state10), np.float32)
 
     def gate(fn, qp):
-        out = np.asarray(fn(qp, bst.params, bst.ema.shadow, k, state10),
-                         np.float32)
+        out = np.asarray(fn(qp, bst.params, bst.ema.shadow, dparams, k,
+                            state10), np.float32)
         c = float(np.corrcoef(ref_out.ravel(), out.ravel())[0, 1])
         return c, bool(np.isfinite(c) and c > 0.999)
 
     corr_q8, ok_q8 = gate(pipeline_q8, qparams)
     corr_kv8, ok_kv8 = gate(pipeline_q8, qparams_kv8)
+    corr_kvx, ok_kvx = gate(pipeline_q8_kvx, qparams_kv8)
     corr_w4, ok_w4 = gate(pipeline_w4, qparams_w4)
 
-    tiers = [(p50_bf16, "bf16", True), (p50_q8, "int8-w8 serving", ok_q8),
-             (p50_kv8, "int8-w8+kv8 serving", ok_kv8),
-             (p50_w4, "int4-w4 pallas serving", ok_w4)]
-    p50, path = min((p, n) for p, n, ok in tiers if ok)
+    tiers = [(p50_bf16, "bf16", True, params, "bf16", "float"),
+             (p50_q8, "int8-w8 serving", ok_q8, qparams, "bf16", "xla"),
+             (p50_kv8, "int8-w8+kv8 serving", ok_kv8, qparams_kv8, "bf16",
+              "xla"),
+             (p50_kvx, "int8-w8+kv8+kvx8 serving", ok_kvx, qparams_kv8,
+              "int8x", "xla"),
+             (p50_w4, "int4-w4 pallas serving", ok_w4, qparams_w4, "bf16",
+              _w4_matmul)]
+    p50, path, _, head_qp, head_kvc, head_mm = min(
+        (p, n, ok, qp, kvc, mm) for p, n, ok, qp, kvc, mm in tiers if ok)
 
-    # ---- full control tick (reference hot path franka_model_eef.py:224-313:
-    # SigLIP on the 6 camera frames + chunk + refine), cold and steady-state
-    # (t-1 SigLIP token cache + solver warm start) -------------------------
+    def head_chunk(qp, key, s128, steps=None, prior=None, skip=0):
+        """One chunk through the HEADLINE tier (dispatches to the float
+        path when bf16 won — rdt_predict_action_quant requires a
+        quantized tree)."""
+        if head_mm == "float":
+            return R.rdt_predict_action(
+                rcfg, qp, key, lang, lang_mask, img, s128, amask, freqs,
+                num_inference_timesteps=steps, prior_chunk=prior,
+                skip_steps=skip)
+        return Q.rdt_predict_action_quant(
+            rcfg, qp, key, lang, lang_mask, img, s128, amask, freqs,
+            num_inference_timesteps=steps, kv_cache=head_kvc,
+            matmul=head_mm, prior_chunk=prior, skip_steps=skip)
+
+    # ---- denoise attribution by MARGINAL cost (VERDICT r4 #2): chunk-only
+    # pipelines at 5 vs 1 solver steps; slope = per-step, intercept = the
+    # fixed replan cost (adaptors + cond-KV build + dispatch).  The stage
+    # numbers are DERIVED from these two measurements, so the roofline and
+    # the stage table cannot disagree.  Measured HERE — before the
+    # full-tick section allocates the vision/DinoV2 trees — and as
+    # min-of-reps: late placement under HBM pressure inflated the 1-step
+    # run and produced an impossible utilization > 1.
+    def chunk_only(steps):
+        @jax.jit
+        def fn(qp, key, s128):
+            return head_chunk(qp, key, s128, steps=steps)
+        return fn
+
+    def measure_chunk(fn, reps=8, iters=8):
+        out = fn(head_qp, jax.random.PRNGKey(0), state128)
+        np.asarray(out[..., :1])
+        lat = []
+        for i in range(reps):
+            s_in = state128
+            t0 = time.perf_counter()
+            for j in range(iters):
+                out = fn(head_qp, jax.random.PRNGKey(i * iters + j), s_in)
+                s_in = state128 + out[:, :1, :].astype(jnp.bfloat16) * 1e-6
+            np.asarray(out[..., :1])
+            lat.append((time.perf_counter() - t0) * 1e3 / iters)
+        return float(np.min(lat))
+
+    t5 = measure_chunk(chunk_only(5))
+    t1 = measure_chunk(chunk_only(1))
+    per_step_ms = max((t5 - t1) / 4.0, 1e-6)
+    ms_denoise = 5.0 * per_step_ms
+    ms_fixed = max(t1 - per_step_ms, 0.0)
+
+    # ---- warm replan: latency AND quality (VERDICT r4 #8).  The quality
+    # field is the corr of the warm-started refined chunk vs the cold chunk
+    # at the SAME key (the prior comes from a previous cold chunk, shifted
+    # by the executed ticks exactly as in deployment); the headline warm
+    # skip count is reduced until the corr passes 0.999. ------------------
+    cold_chunk_fn = jax.jit(lambda qp, kk: head_chunk(qp, kk, state128))
+    prev = cold_chunk_fn(head_qp, jax.random.PRNGKey(55))
+    prior_from_prev = jnp.concatenate(
+        [prev[:, SHIFT:], jnp.repeat(prev[:, -1:], SHIFT, axis=1)], axis=1)
+    cold_at_k = np.asarray(refine(
+        bst.params, bst.ema.shadow,
+        jax.random.split(jax.random.PRNGKey(777))[1], state10,
+        cold_chunk_fn(head_qp,
+                      jax.random.split(jax.random.PRNGKey(777))[0])
+        [:, : bcfg.horizon, 30:40].astype(jnp.float32), dparams, gel),
+        np.float32)
+
+    warm_corrs = {}
+    warm_pipes = {}
+    warm_skip_used = 0
+    for skip in (2, 1):
+        wp = make_warm_pipeline(skip, head_kvc)
+        warm_pipes[skip] = wp
+        wout = np.asarray(wp(head_qp, bst.params, bst.ema.shadow, dparams,
+                             jax.random.PRNGKey(777), state10,
+                             prior_from_prev)[0], np.float32)
+        c = float(np.corrcoef(cold_at_k.ravel(), wout.ravel())[0, 1])
+        warm_corrs[skip] = c
+        if c > 0.999:
+            warm_skip_used = skip
+            break
+
+    def warm_tick_for(skip):
+        wp = warm_pipes[skip]
+
+        def tick(key, carry):
+            s, prior = carry
+            refined, prior = wp(head_qp, bst.params, bst.ema.shadow,
+                                dparams, key, s, prior)
+            return refined, (refined[:, 0, :], prior)
+        return tick
+
+    prior0 = jnp.zeros((B, m.horizon, m.output_dim), jnp.float32)
+    p50_warm2 = measure(warm_tick_for(2), (state10, prior0)) \
+        if 2 in warm_pipes else float("nan")
+    p50_warm_used = measure(warm_tick_for(warm_skip_used),
+                            (state10, prior0)) \
+        if warm_skip_used else p50
+
+    # ---- full control tick (reference hot path: SigLIP 6 imgs + chunk +
+    # BRIDGeR conditioning encode + refine), cold and steady-state --------
     from vla_touch_tpu.runtime import policy as P
 
     if _CONFIG == "tiny":
-        from vla_touch_tpu.models.encoders.vit import ViTConfig
         vis_cfg = ViTConfig(hidden_size=m.img_token_dim, num_layers=1,
                             num_heads=4, mlp_dim=64, image_size=28,
                             patch_size=14, use_cls_token=False,
@@ -268,53 +456,118 @@ def main():
         lambda k: P.SiglipVisionEncoder(pcfg.vision, dtype=jnp.bfloat16).init(
             k, jnp.zeros((1, S, S, 3), jnp.bfloat16))["params"]
     )(jax.random.PRNGKey(2))
+    # SigLIP serving tiers (vit_serve twins; the policy wrapper dispatches
+    # on tree structure).
+    vparams_serve = jax.jit(
+        lambda p: VS.quantize_vit_params(p, "bf16"))(vparams)
+    vparams_int8 = jax.jit(
+        lambda p: VS.quantize_vit_params(p, "int8"))(vparams)
     frames6 = jnp.asarray(rng.integers(0, 256, (B, 6, S, S, 3)),
                           jnp.uint8)
     fmask6 = jnp.ones((B, 6), bool)
     proprio = jnp.asarray(rng.normal(size=(B, 10)), jnp.float32)
 
-    @jax.jit
-    def full_tick_cold(qp, vp, b_params, ema_shadow, key, s):
-        k1, k2 = jax.random.split(key)
-        actions = P.policy_step(pcfg, qp, vp, k1, proprio, frames6, fmask6,
-                                lang, lang_mask)
-        vla10 = actions[:, : bcfg.horizon].astype(jnp.float32)
-        return BR.bridge_predict(bcfg, b_params, ema_shadow, stats, k2, s,
-                                 vla10, cam1_feat=cam1, cam2_feat=cam2,
-                                 forces=forces)
+    def make_full_cold(absent=(), bg=None, fmask=fmask6):
+        @jax.jit
+        def full_tick_cold(qp, vp, b_params, ema_shadow, dp, key, s):
+            k1, k2 = jax.random.split(key)
+            actions = P.policy_step(pcfg, qp, vp, k1, proprio, frames6,
+                                    fmask, lang, lang_mask, absent=absent,
+                                    bg_tokens=bg, kv_cache=head_kvc)
+            vla10 = actions[:, : bcfg.horizon].astype(jnp.float32)
+            return refine(b_params, ema_shadow, k2, s, vla10, dp, gel)
+        return full_tick_cold
 
-    @jax.jit
-    def full_tick_warm(qp, vp, b_params, ema_shadow, key, s, prev_tokens,
-                       prior_actions):
-        k1, k2 = jax.random.split(key)
-        actions, cur = P.policy_step_cached_warm(
-            pcfg, qp, vp, k1, proprio, frames6[:, 3:], fmask6[:, 3:],
-            prev_tokens, lang, lang_mask, prior_actions, 2)
-        vla10 = actions[:, : bcfg.horizon].astype(jnp.float32)
-        refined = BR.bridge_predict(bcfg, b_params, ema_shadow, stats, k2,
-                                    s, vla10, cam1_feat=cam1,
-                                    cam2_feat=cam2, forces=forces)
-        next_prior = jnp.concatenate(
-            [actions[:, SHIFT:], jnp.repeat(actions[:, -1:], SHIFT, axis=1)],
-            axis=1)
-        return refined, cur, next_prior
+    def make_full_warm(skip, absent=(), bg=None, fmask=fmask6):
+        @jax.jit
+        def full_tick_warm(qp, vp, b_params, ema_shadow, dp, key, s,
+                           prev_tokens, prior_actions):
+            k1, k2 = jax.random.split(key)
+            actions, cur = P.policy_step_cached_warm(
+                pcfg, qp, vp, k1, proprio, frames6[:, 3:], fmask[:, 3:],
+                prev_tokens, lang, lang_mask, prior_actions, skip,
+                absent=absent, bg_tokens=bg, kv_cache=head_kvc)
+            vla10 = actions[:, : bcfg.horizon].astype(jnp.float32)
+            refined = refine(b_params, ema_shadow, k2, s, vla10, dp, gel)
+            next_prior = jnp.concatenate(
+                [actions[:, SHIFT:],
+                 jnp.repeat(actions[:, -1:], SHIFT, axis=1)], axis=1)
+            return refined, cur, next_prior
+        return full_tick_warm
+
+    full_cold = make_full_cold()
+    # Vision-tier parity gate.  Two levels, both published:
+    #
+    # 1. TOKEN corr (the stage's own output vs the flax tower) — must pass
+    #    0.999, the direct analogue of the RDT tiers' weight-perturbation
+    #    gate.
+    # 2. END-TO-END refined-chunk corr, WITH A MEASURED CONTROL FLOOR: the
+    #    serve-bf16 twin is the SAME math merely reordered (bf16 rounding
+    #    only, token corr ~0.9999), yet at this bench's random weights its
+    #    chunk corr reads ~0.993 — the untrained RDT+SDE pipeline
+    #    chaotically amplifies ANY rounding-level condition change, so a
+    #    fixed 0.999 chunk gate is unattainable for every vision variant
+    #    including pure reordering.  The int8 tier therefore gates on
+    #    token corr > 0.999 AND chunk corr within 0.002 of the measured
+    #    reorder floor (quantization must add nothing beyond rounding
+    #    chaos).  On trained weights the chunk-level amplification
+    #    disappears (trained maps are smooth in their conditions); the
+    #    token gate is the transferable guarantee.
+    kf = jax.random.PRNGKey(321)
+    tick_flax = np.asarray(full_cold(head_qp, vparams, bst.params,
+                                     bst.ema.shadow, dparams, kf, state10),
+                           np.float32)
+    tok_flax = np.asarray(P.encode_frames(pcfg, vparams, frames6, fmask6),
+                          np.float32)
+
+    def vision_corrs(vp):
+        out = np.asarray(full_cold(head_qp, vp, bst.params, bst.ema.shadow,
+                                   dparams, kf, state10), np.float32)
+        tick_c = float(np.corrcoef(tick_flax.ravel(), out.ravel())[0, 1])
+        tok = np.asarray(P.encode_frames(pcfg, vp, frames6, fmask6),
+                         np.float32)
+        tok_c = float(np.corrcoef(tok_flax.ravel(), tok.ravel())[0, 1])
+        return tok_c, tick_c
+
+    tokc_vserve, corr_vserve = vision_corrs(vparams_serve)
+    tokc_vint8, corr_vint8 = vision_corrs(vparams_int8)
+    ok_vserve = np.isfinite(corr_vserve) and tokc_vserve > 0.999
+    ok_vint8 = bool(np.isfinite(corr_vint8) and tokc_vint8 > 0.999
+                    and corr_vint8 >= corr_vserve - 0.002)
+    if ok_vint8:
+        vis_params_used, vision_path = vparams_int8, "siglip-int8-w8a8"
+    elif ok_vserve:
+        vis_params_used, vision_path = vparams_serve, "siglip-serve-bf16"
+    else:
+        vis_params_used, vision_path = vparams, "siglip-flax-bf16"
 
     def cold_full(key, s):
-        refined = full_tick_cold(qparams, vparams, bst.params,
-                                 bst.ema.shadow, key, s)
+        refined = full_cold(head_qp, vis_params_used, bst.params,
+                            bst.ema.shadow, dparams, key, s)
         return refined, refined[:, 0, :]
 
-    tokens0 = P.encode_frames(pcfg, vparams, frames6[:, 3:], fmask6[:, 3:])
+    WSKIP = warm_skip_used or 1
+    full_warm = make_full_warm(WSKIP)
+    tokens0 = P.encode_frames(pcfg, vis_params_used, frames6[:, 3:],
+                              fmask6[:, 3:])
     prior_a0 = jnp.zeros((B, m.horizon, 10), jnp.float32)
 
     def warm_full(key, carry):
         s, tok, prior = carry
-        refined, tok, prior = full_tick_warm(
-            qparams, vparams, bst.params, bst.ema.shadow, key, s, tok, prior)
+        refined, tok, prior = full_warm(
+            head_qp, vis_params_used, bst.params, bst.ema.shadow, dparams,
+            key, s, tok, prior)
         return refined, (refined[:, 0, :], tok, prior)
+
+    def cold_full_flax(key, s):
+        refined = full_cold(head_qp, vparams, bst.params, bst.ema.shadow,
+                            dparams, key, s)
+        return refined, refined[:, 0, :]
 
     p50_full_cold = measure(cold_full, state10, reps=5)
     p50_full_warm = measure(warm_full, (state10, tokens0, prior_a0), reps=5)
+    # flax-vision cold tick for the before/after delta in one artifact
+    p50_full_cold_flax = measure(cold_full_flax, state10, reps=3)
 
     # ---- franka operating point: the left-wrist camera is ALWAYS the
     # padded background (unified_vla_dataset_episode.py:354-363) and the
@@ -325,50 +578,26 @@ def main():
     fmask6_fr = np.ones((B, 6), bool)
     fmask6_fr[:, [2, 5]] = False
     fmask6_fr = jnp.asarray(fmask6_fr)
-    bg_tok = P.encode_background_tokens(pcfg, vparams)
+    bg_tok = P.encode_background_tokens(pcfg, vis_params_used)
 
-    @jax.jit
-    def full_tick_cold_franka(qp, vp, b_params, ema_shadow, key, s):
-        k1, k2 = jax.random.split(key)
-        actions = P.policy_step(pcfg, qp, vp, k1, proprio, frames6,
-                                fmask6_fr, lang, lang_mask,
-                                absent=(2, 5), bg_tokens=bg_tok)
-        vla10 = actions[:, : bcfg.horizon].astype(jnp.float32)
-        return BR.bridge_predict(bcfg, b_params, ema_shadow, stats, k2, s,
-                                 vla10, cam1_feat=cam1, cam2_feat=cam2,
-                                 forces=forces)
-
-    @jax.jit
-    def full_tick_warm_franka(qp, vp, b_params, ema_shadow, key, s,
-                              prev_tokens, prior_actions):
-        k1, k2 = jax.random.split(key)
-        actions, cur = P.policy_step_cached_warm(
-            pcfg, qp, vp, k1, proprio, frames6[:, 3:], fmask6_fr[:, 3:],
-            prev_tokens, lang, lang_mask, prior_actions, 2,
-            absent=(2,), bg_tokens=bg_tok)
-        vla10 = actions[:, : bcfg.horizon].astype(jnp.float32)
-        refined = BR.bridge_predict(bcfg, b_params, ema_shadow, stats, k2,
-                                    s, vla10, cam1_feat=cam1,
-                                    cam2_feat=cam2, forces=forces)
-        next_prior = jnp.concatenate(
-            [actions[:, SHIFT:], jnp.repeat(actions[:, -1:], SHIFT, axis=1)],
-            axis=1)
-        return refined, cur, next_prior
+    full_cold_fr = make_full_cold(absent=(2, 5), bg=bg_tok, fmask=fmask6_fr)
+    full_warm_fr = make_full_warm(WSKIP, absent=(2,), bg=bg_tok,
+                                  fmask=fmask6_fr)
 
     def cold_full_franka(key, s):
-        refined = full_tick_cold_franka(qparams, vparams, bst.params,
-                                        bst.ema.shadow, key, s)
+        refined = full_cold_fr(head_qp, vis_params_used, bst.params,
+                               bst.ema.shadow, dparams, key, s)
         return refined, refined[:, 0, :]
 
-    tokens0_fr = P.encode_frames(pcfg, vparams, frames6[:, 3:],
+    tokens0_fr = P.encode_frames(pcfg, vis_params_used, frames6[:, 3:],
                                  fmask6_fr[:, 3:], absent=(2,),
                                  bg_tokens=bg_tok)
 
     def warm_full_franka(key, carry):
         s, tok, prior = carry
-        refined, tok, prior = full_tick_warm_franka(
-            qparams, vparams, bst.params, bst.ema.shadow, key, s, tok,
-            prior)
+        refined, tok, prior = full_warm_fr(
+            head_qp, vis_params_used, bst.params, bst.ema.shadow, dparams,
+            key, s, tok, prior)
         return refined, (refined[:, 0, :], tok, prior)
 
     p50_full_cold_fr = measure(cold_full_franka, state10, reps=5)
@@ -389,10 +618,16 @@ def main():
         return kv[0][0]
 
     @jax.jit
+    def stage_bridge_cond(dp, key):
+        c1, c2, f = bridge_cond(dp, gel)
+        return c1 + c2 + f[:, :1]
+
+    @jax.jit
     def stage_bridge(b_params, ema_shadow, key, s):
         vla10 = jnp.zeros((B, bcfg.horizon, 10), jnp.float32)
         return BR.bridge_predict(bcfg, b_params, ema_shadow, stats, key, s,
-                                 vla10, cam1_feat=cam1, cam2_feat=cam2,
+                                 vla10, cam1_feat=jnp.zeros((B, bcfg.visual_dim)),
+                                 cam2_feat=jnp.zeros((B, bcfg.visual_dim)),
                                  forces=forces)
 
     def measure_stage(fn, *args, reps=6, iters=8):
@@ -409,18 +644,21 @@ def main():
         return float(np.percentile(lat, 50))
 
     ms_siglip = measure_stage(stage_siglip, vparams, jax.random.PRNGKey(0))
+    ms_siglip_serve = measure_stage(stage_siglip, vparams_serve,
+                                    jax.random.PRNGKey(0))
+    ms_siglip_int8 = measure_stage(stage_siglip, vparams_int8,
+                                   jax.random.PRNGKey(0))
     ms_cond = measure_stage(stage_cond, qparams, jax.random.PRNGKey(0))
+    ms_bridge_cond = measure_stage(stage_bridge_cond, dparams,
+                                   jax.random.PRNGKey(0))
     ms_bridge = measure_stage(stage_bridge, bst.params, bst.ema.shadow,
                               jax.random.PRNGKey(0), state10)
-    # denoise = chunk pipeline minus cond build minus refine (the three run
-    # in one fused dispatch in the pipelines; this decomposition is the
-    # per-stage attribution, not a re-measurement of the headline)
-    ms_denoise = max(p50_q8 - ms_cond - ms_bridge, 0.0)
 
-    # Roofline: the denoise loop re-reads every transformer weight each
-    # solver step (weight-streaming bound).  Bytes = the int8 tree minus
-    # the per-chunk-only leaves (cross-attn kv projections, lang/img
-    # adaptors).
+    # Roofline: the denoise loop re-reads every transformer weight AND the
+    # condition KV cache each solver step.  Weight bytes = the int8 tree
+    # minus the per-chunk-only leaves (cross-attn kv projections, lang/img
+    # adaptors); KV bytes = depth x 2 x L x D at the cache dtype (int8
+    # under the kvx tier, bf16 otherwise).
     def streamed_bytes(tree):
         total = 0
         skip_roots = {"lang_adaptor", "img_adaptor"}
@@ -433,26 +671,30 @@ def main():
                 total += node.nbytes
                 return
             if isinstance(node, dict):
-                for k, v in node.items():
-                    walk(v, path + (k,))
+                for k_, v in node.items():
+                    walk(v, path + (k_,))
         walk(tree, ())
         return total
 
-    sb = streamed_bytes(qparams)
-    per_step_ms = ms_denoise / 5.0
-    hbm_util = (sb / (per_step_ms / 1e3) / 1e9) / V5E_HBM_GBPS \
-        if per_step_ms > 0 else float("nan")
-    # cond-KV build is MXU-bound: FLOPs = kv projections over the 4374-token
-    # image condition (14 blocks) + 64-token lang (14) + the two adaptors.
+    wb = streamed_bytes(head_qp)
     D = m.hidden_size
     Li = m.img_cond_len
-    nb = m.depth // 2                            # blocks per condition
-    fl = 0
-    fl += nb * 2 * Li * D * (2 * D)              # img kv projs
-    fl += nb * 2 * Ll * D * (2 * D)              # lang kv projs
-    fl += 2 * Li * (m.img_token_dim * D + D * D)  # img adaptor mlp2x
-    fl += 2 * Ll * (m.lang_token_dim * D + D * D)
-    mxu_util = (fl / (ms_cond / 1e3) / 1e12) / V5E_BF16_TFLOPS
+    nb = m.depth // 2                             # blocks per condition
+    cache_bytes = 1 if head_kvc == "int8x" else 2
+    kvb = nb * 2 * (Li + Ll) * D * cache_bytes
+    hbm_util = ((wb + kvb) / (per_step_ms / 1e3) / 1e9) / V5E_HBM_GBPS
+
+    # cond-KV build is MXU-bound.  Ideal time sums each matmul class at its
+    # ACTIVE dtype's peak (kv projections run bf16 in the headline tree;
+    # the adaptors run int8) — r4 divided everything by the bf16 peak and
+    # printed a utilization of 1.275.
+    fl_kv = nb * 2 * Li * D * (2 * D) + nb * 2 * Ll * D * (2 * D)
+    fl_adapt = 2 * Li * (m.img_token_dim * D + D * D) \
+        + 2 * Ll * (m.lang_token_dim * D + D * D)
+    kv_is_int8 = "w_i8" in head_qp["model"]["block0"]["cross_attn"]["kv"]
+    kv_peak = V5E_INT8_TOPS if kv_is_int8 else V5E_BF16_TFLOPS
+    ideal_s = fl_kv / (kv_peak * 1e12) + fl_adapt / (V5E_INT8_TOPS * 1e12)
+    mxu_util = ideal_s / (ms_cond / 1e3)
 
     print(json.dumps({
         "metric": "p50 action-chunk latency (RDT-1B 5-step + BRIDGeR "
@@ -469,31 +711,64 @@ def main():
         "int8_chunk_corr_vs_bf16": round(corr_q8, 5),
         "int8_kv8_ms": round(p50_kv8, 2),
         "int8_kv8_corr_vs_bf16": round(corr_kv8, 5),
+        # int8 weights + int8 kv projections + int8 condition cache with
+        # XLA-fused dequant (the round-5 tier: halves per-step KV reads)
+        "int8_kv8_kvx8_ms": round(p50_kvx, 2),
+        "int8_kv8_kvx8_corr_vs_bf16": round(corr_kvx, 5),
         # int4 is the measured-negative tier: fastest weight streaming but
         # below the parity gate (see module docstring) — reported, not
         # eligible for the headline unless corr > 0.999
         "int4_pallas_ms": round(p50_w4, 2),
         "int4_chunk_corr_vs_bf16": round(corr_w4, 5),
         # steady-state deployment replan (warm start from the previous
-        # chunk, skip 2 of 5 solver steps) — a different operating point,
-        # reported alongside the cold-chunk headline
-        "int8_warm2_ms": round(p50_q8_warm, 2),
-        # FULL control tick = SigLIP(6 imgs) + RDT chunk + BRIDGeR refine
-        # (reference step() hot path); warm = t-1 SigLIP cache (3 new
-        # frames) + solver warm start, the deployment steady state
+        # chunk, partial denoising) — with its QUALITY field: corr of the
+        # warm refined chunk vs the cold chunk at the same key.  The
+        # headline warm skip count is the largest with corr > 0.999.
+        "int8_warm2_ms": round(p50_warm2, 2),
+        "warm2_chunk_corr_vs_cold": round(warm_corrs.get(2, float("nan")), 5),
+        "warm1_chunk_corr_vs_cold": round(warm_corrs.get(1, float("nan")), 5)
+        if 1 in warm_corrs else None,
+        "warm_skip_used": warm_skip_used,
+        "int8_warm_used_ms": round(p50_warm_used, 2),
+        # FULL control tick = SigLIP(6 imgs) + RDT chunk + BRIDGeR
+        # conditioning encode (DinoV2 pair + marker-track force, in-jit)
+        # + refine; warm = t-1 SigLIP cache (3 new frames) + solver warm
+        # start at warm_skip_used
         "full_tick_ms": round(p50_full_cold, 2),
         "full_tick_warm_ms": round(p50_full_warm, 2),
+        "full_tick_flax_vision_ms": round(p50_full_cold_flax, 2),
+        "vision_path": vision_path,
+        # token corr = the vision stage's own parity (the gate);
+        # tick corr = end-to-end chunk corr, with serve-bf16 (pure bf16
+        # reordering of the same math) as the measured chaos floor any
+        # vision change hits at random weights — see the gate comment
+        "siglip_serve_token_corr": round(tokc_vserve, 5),
+        "siglip_int8_token_corr": round(tokc_vint8, 5),
+        "siglip_serve_tick_corr": round(corr_vserve, 5),
+        "siglip_int8_tick_corr": round(corr_vint8, 5),
         # the franka deployment operating point: left wrist statically
         # absent -> SigLIP encodes 4 (cold) / 2 (warm) images, background
         # tokens spliced in exactly
         "full_tick_franka_ms": round(p50_full_cold_fr, 2),
         "full_tick_franka_warm_ms": round(p50_full_warm_fr, 2),
         "stage_ms": {"siglip_6img": round(ms_siglip, 2),
+                     "siglip_6img_serve": round(ms_siglip_serve, 2),
+                     "siglip_6img_int8": round(ms_siglip_int8, 2),
                      "rdt_cond_kv": round(ms_cond, 2),
                      "rdt_denoise_5step": round(ms_denoise, 2),
+                     "replan_fixed": round(ms_fixed, 2),
+                     "bridge_cond": round(ms_bridge_cond, 2),
                      "bridge_refine": round(ms_bridge, 2)},
-        "denoise_weight_stream_gb_per_step": round(sb / 1e9, 3),
+        # marginal attribution: chunk-only at 5 vs 1 steps (slope /
+        # intercept); the stage entries above are derived from it
+        "denoise_ms_per_step_marginal": round(per_step_ms, 3),
+        "denoise_weight_stream_gb_per_step": round(wb / 1e9, 3),
+        "denoise_kv_cache_gb_per_step": round(kvb / 1e9, 3),
+        # fraction of v5e HBM bandwidth (819 GB/s) consumed by the
+        # measured per-step streaming (weights + KV cache)
         "denoise_hbm_utilization": round(hbm_util, 3),
+        # ideal-time / measured-time with dtype-aware peaks (bf16 197 /
+        # int8 394 TOPS) over the cond-KV projections + adaptors
         "cond_kv_mxu_utilization": round(mxu_util, 3),
     }))
 

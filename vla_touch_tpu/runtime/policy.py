@@ -151,10 +151,13 @@ def _is_quant_tree(rdt_params) -> bool:
 
 def _predict_from_tokens(cfg: PolicyConfig, rdt_params, key, proprio,
                          img_tokens, text_embeds, text_mask,
-                         prior_actions=None, skip_steps: int = 0):
+                         prior_actions=None, skip_steps: int = 0,
+                         kv_cache: str = "bf16"):
     """State pack + denoise + unpack (traced).  ``prior_actions`` (raw
     units, already shifted by the executed ticks) + ``skip_steps`` > 0
-    warm-start the solver tail instead of pure noise."""
+    warm-start the solver tail instead of pure noise.  ``kv_cache``
+    ('bf16' | 'int8x') picks the condition-cache storage on the quantized
+    path (int8x halves the per-denoise-step KV reads, quant_serve.py)."""
     m = cfg.rdt.model
     B = proprio.shape[0]
     dtype = m.compute_dtype
@@ -185,7 +188,7 @@ def _predict_from_tokens(cfg: PolicyConfig, rdt_params, key, proprio,
             text_embeds.astype(dtype), text_mask, img_tokens.astype(dtype),
             state[:, None, :].astype(dtype), mask[:, None, :],
             jnp.full((B,), cfg.control_frequency, jnp.float32),
-            prior_chunk=prior128, skip_steps=skip_steps)
+            prior_chunk=prior128, skip_steps=skip_steps, kv_cache=kv_cache)
     else:
         chunk = R.rdt_predict_action(
             cfg.rdt, rdt_params, key,
@@ -197,11 +200,12 @@ def _predict_from_tokens(cfg: PolicyConfig, rdt_params, key, proprio,
     return chunk[:, :, idx] * out_scale
 
 
-@partial(jax.jit, static_argnames=("cfg", "skip_steps", "absent"))
+@partial(jax.jit, static_argnames=("cfg", "skip_steps", "absent",
+                                   "kv_cache"))
 def policy_step_warm(cfg: PolicyConfig, rdt_params, vision_params, key,
                      proprio, images, image_mask, text_embeds, text_mask,
                      prior_actions, skip_steps: int, absent=(),
-                     bg_tokens=None):
+                     bg_tokens=None, kv_cache: str = "bf16"):
     """Replan with partial denoising: the previous chunk (already shifted by
     the executed ticks, in RAW robot action units, (B, horizon, D_low))
     seeds the solver at step ``skip_steps`` instead of pure noise
@@ -213,13 +217,13 @@ def policy_step_warm(cfg: PolicyConfig, rdt_params, vision_params, key,
     return _predict_from_tokens(cfg, rdt_params, key, proprio, img_tokens,
                                 text_embeds, text_mask,
                                 prior_actions=prior_actions,
-                                skip_steps=skip_steps)
+                                skip_steps=skip_steps, kv_cache=kv_cache)
 
 
-@partial(jax.jit, static_argnames=("cfg", "absent"))
+@partial(jax.jit, static_argnames=("cfg", "absent", "kv_cache"))
 def policy_step(cfg: PolicyConfig, rdt_params, vision_params, key,
                 proprio, images, image_mask, text_embeds, text_mask,
-                absent=(), bg_tokens=None):
+                absent=(), bg_tokens=None, kv_cache: str = "bf16"):
     """One action-chunk inference.
 
     proprio: (B, D_low) raw robot state;
@@ -236,7 +240,7 @@ def policy_step(cfg: PolicyConfig, rdt_params, vision_params, key,
     img_tokens = _encode_frames(cfg, vision_params, images, image_mask, dtype,
                                 absent=absent, bg_tokens=bg_tokens)
     return _predict_from_tokens(cfg, rdt_params, key, proprio, img_tokens,
-                                text_embeds, text_mask)
+                                text_embeds, text_mask, kv_cache=kv_cache)
 
 
 @partial(jax.jit, static_argnames=("cfg", "absent"))
@@ -249,10 +253,11 @@ def encode_frames(cfg: PolicyConfig, vision_params, images, image_mask,
                           absent=absent, bg_tokens=bg_tokens)
 
 
-@partial(jax.jit, static_argnames=("cfg", "absent"))
+@partial(jax.jit, static_argnames=("cfg", "absent", "kv_cache"))
 def policy_step_cached(cfg: PolicyConfig, rdt_params, vision_params, key,
                        proprio, new_images, new_image_mask, prev_tokens,
-                       text_embeds, text_mask, absent=(), bg_tokens=None):
+                       text_embeds, text_mask, absent=(), bg_tokens=None,
+                       kv_cache: str = "bf16"):
     """Replan reusing cached t-1 frame tokens.
 
     The reference re-encodes all 6 frames every inference
@@ -270,16 +275,17 @@ def policy_step_cached(cfg: PolicyConfig, rdt_params, vision_params, key,
                          dtype, absent=absent, bg_tokens=bg_tokens)
     img_tokens = jnp.concatenate([prev_tokens.astype(dtype), cur], axis=1)
     actions = _predict_from_tokens(cfg, rdt_params, key, proprio, img_tokens,
-                                   text_embeds, text_mask)
+                                   text_embeds, text_mask, kv_cache=kv_cache)
     return actions, cur
 
 
-@partial(jax.jit, static_argnames=("cfg", "skip_steps", "absent"))
+@partial(jax.jit, static_argnames=("cfg", "skip_steps", "absent",
+                                   "kv_cache"))
 def policy_step_cached_warm(cfg: PolicyConfig, rdt_params, vision_params,
                             key, proprio, new_images, new_image_mask,
                             prev_tokens, text_embeds, text_mask,
                             prior_actions, skip_steps: int, absent=(),
-                            bg_tokens=None):
+                            bg_tokens=None, kv_cache: str = "bf16"):
     """The steady-state replan: cached t-1 SigLIP tokens AND warm-started
     denoising in one dispatch — every replan after the first combines both
     savings (measured separately: ~21 ms vision cache, ~7 ms warm start at
@@ -293,7 +299,7 @@ def policy_step_cached_warm(cfg: PolicyConfig, rdt_params, vision_params,
     actions = _predict_from_tokens(cfg, rdt_params, key, proprio, img_tokens,
                                    text_embeds, text_mask,
                                    prior_actions=prior_actions,
-                                   skip_steps=skip_steps)
+                                   skip_steps=skip_steps, kv_cache=kv_cache)
     return actions, cur
 
 
