@@ -219,3 +219,52 @@ def test_wrapper_absent_camera_matches_full(rng):
         a_fast = fast.step(proprio, w, text)
         a_plain = plain.step(proprio, w, text)
         np.testing.assert_allclose(a_fast, a_plain, rtol=1e-5, atol=1e-6)
+
+
+def test_policy_kv_cache_int8x_tracks_bf16(rng):
+    """kv_cache='int8x' (int8-stored condition cache, XLA-fused dequant in
+    the attention reads) flows through every policy dispatch and tracks
+    the bf16-cache output on the same quantized tree."""
+    from vla_touch_tpu.models.rdt import quant_serve as Q
+
+    cfg = _cfg()
+    model = P.create_model(cfg, seed=0, cache_frames=False)
+    # the final projection is zero-initialized (DiT-style) — perturb it so
+    # the chunk is non-constant and the corr is meaningful
+    model.rdt_params["model"]["final_ffn"]["fc2"]["kernel"] = jnp.asarray(
+        rng.normal(size=model.rdt_params["model"]["final_ffn"]["fc2"]
+                   ["kernel"].shape) * 0.05, jnp.float32)
+    qparams = Q.quantize_rdt_params(model.rdt_params)
+
+    proprio = jnp.asarray(rng.normal(size=(1, 10)), jnp.float32)
+    frames = jnp.asarray(rng.integers(0, 255, (1, 6, 28, 28, 3)), jnp.uint8)
+    mask = jnp.ones((1, 6), bool)
+    text = jnp.asarray(rng.normal(size=(1, 4, TINY_RDT.lang_token_dim)),
+                       jnp.float32)
+    tmask = jnp.ones((1, 4), bool)
+    key = jax.random.PRNGKey(5)
+
+    ref = P.policy_step(cfg, qparams, model.vision_params, key,
+                        proprio, frames, mask, text, tmask)
+    got = P.policy_step(cfg, qparams, model.vision_params, key,
+                        proprio, frames, mask, text, tmask,
+                        kv_cache="int8x")
+    assert got.shape == ref.shape
+    corr = np.corrcoef(np.asarray(ref).ravel(), np.asarray(got).ravel())[0, 1]
+    assert corr > 0.99, corr
+
+    # steady-state dispatch: cached tokens + warm start + int8x cache
+    prior = jnp.asarray(rng.normal(size=(1, TINY_RDT.horizon, 10)) * 0.1,
+                        jnp.float32)
+    prev = P.encode_frames(cfg, model.vision_params, frames[:, :3],
+                           mask[:, :3])
+    combo, cur = P.policy_step_cached_warm(
+        cfg, qparams, model.vision_params, key, proprio, frames[:, 3:],
+        mask[:, 3:], prev, text, tmask, prior, 1, kv_cache="int8x")
+    combo_ref, _ = P.policy_step_cached_warm(
+        cfg, qparams, model.vision_params, key, proprio, frames[:, 3:],
+        mask[:, 3:], prev, text, tmask, prior, 1)
+    c2 = np.corrcoef(np.asarray(combo_ref).ravel(),
+                     np.asarray(combo).ravel())[0, 1]
+    assert np.isfinite(np.asarray(combo)).all()
+    assert c2 > 0.99, c2
