@@ -47,13 +47,41 @@ def quantize_vit_params(params: dict, weights: str = "int8") -> dict:
     serving twin.
 
     ``weights='int8'``: per-output-channel int8 on every 2-D Dense inside
-    the transformer blocks (q/k/v/out, fc1/fc2); ``weights='bf16'``: same
+    the transformer blocks (qkv/out, fc1/fc2); ``weights='bf16'``: same
     tree with the block matmul kernels cast to bf16 (the twin's fused-
     attention forward without quantization).  Patch embed, positional
     embeddings and norms stay high-precision either way.  The returned
     tree is structurally distinct from the flax tree (int8 leaves carry
     ``w_i8``; bf16 trees carry a ``serve_bf16`` marker), which is what the
-    policy wrapper dispatches on (static under jit)."""
+    policy wrapper dispatches on (static under jit).
+
+    The per-block q/k/v Denses are FUSED into one (D, 3D) ``qkv`` leaf:
+    one activation-quant pass and one 3x-wider MXU matmul instead of three
+    (the per-output-channel scales concatenate exactly, so the math is
+    unchanged)."""
+    def fuse_qkv(node):
+        if not (isinstance(node, dict) and "attention" in node
+                and "query" in node.get("attention", {})):
+            return node
+        a = node["attention"]
+        fused = {"kernel": jnp.concatenate(
+            [jnp.asarray(a[n]["kernel"], jnp.float32)
+             for n in ("query", "key", "value")], axis=1)}
+        if "bias" in a["query"]:
+            fused["bias"] = jnp.concatenate(
+                [jnp.asarray(a[n]["bias"], jnp.float32)
+                 for n in ("query", "key", "value")])
+        return dict(node, attention={"qkv": fused, "output": a["output"]})
+
+    def prep(node, path):
+        if not isinstance(node, dict):
+            return node
+        if any(p.startswith("block") for p in path):
+            node = fuse_qkv(node)
+        return {k: prep(v, path + (k,)) for k, v in node.items()}
+
+    params = prep(params, ())
+
     def in_block(path, leaf):
         return any(p.startswith("block") for p in path)
 
@@ -101,9 +129,13 @@ def _block(x, p, cfg: ViTConfig, dtype=jnp.bfloat16):
     hd = D // cfg.num_heads
     h = _layernorm(x, p["norm1"], cfg.layernorm_eps)
     a = p["attention"]
-    q = _lin(h, a["query"], dtype).reshape(B, N, cfg.num_heads, hd)
-    k = _lin(h, a["key"], dtype).reshape(B, N, cfg.num_heads, hd)
-    v = _lin(h, a["value"], dtype).reshape(B, N, cfg.num_heads, hd)
+    if "qkv" in a:
+        qkv = _lin(h, a["qkv"], dtype).reshape(B, N, 3, cfg.num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    else:  # pre-fusion tree (split q/k/v leaves)
+        q = _lin(h, a["query"], dtype).reshape(B, N, cfg.num_heads, hd)
+        k = _lin(h, a["key"], dtype).reshape(B, N, cfg.num_heads, hd)
+        v = _lin(h, a["value"], dtype).reshape(B, N, cfg.num_heads, hd)
     o = dot_product_attention(q, k, v).reshape(B, N, D)
     h = _lin(o, a["output"], dtype)
     if cfg.use_layerscale:
@@ -170,5 +202,5 @@ def is_vit_serve_tree(params: dict) -> bool:
     if "serve_bf16" in params:
         return True
     vp = params.get("vit", params)
-    q = vp.get("block0", {}).get("attention", {}).get("query", {})
-    return "w_i8" in q
+    a = vp.get("block0", {}).get("attention", {})
+    return "w_i8" in a.get("qkv", a.get("query", {}))
