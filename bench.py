@@ -384,11 +384,16 @@ def main():
             lat.append((time.perf_counter() - t0) * 1e3 / iters)
         return float(np.min(lat))
 
+    # slope over 5 EXTRA steps (5 vs 10), not 1 vs 5: the intercept is
+    # ~19 ms of fixed cost, so a 4-step delta (~3 ms) was inside the
+    # tunnel's rep-to-rep noise and one run published an impossible
+    # hbm_utilization of 2.0.  The 5-step delta doubles the signal and
+    # both endpoints carry the identical fixed cost.
     t5 = measure_chunk(chunk_only(5))
-    t1 = measure_chunk(chunk_only(1))
-    per_step_ms = max((t5 - t1) / 4.0, 1e-6)
+    t10 = measure_chunk(chunk_only(10))
+    per_step_ms = max((t10 - t5) / 5.0, 1e-6)
     ms_denoise = 5.0 * per_step_ms
-    ms_fixed = max(t1 - per_step_ms, 0.0)
+    ms_fixed = max(t5 - ms_denoise, 0.0)
 
     # ---- warm replan: latency AND quality (VERDICT r4 #8).  The quality
     # field is the corr of the warm-started refined chunk vs the cold chunk
@@ -410,7 +415,7 @@ def main():
     warm_corrs = {}
     warm_pipes = {}
     warm_skip_used = 0
-    for skip in (2, 1):
+    for skip in (3, 2, 1):
         wp = make_warm_pipeline(skip, head_kvc)
         warm_pipes[skip] = wp
         wout = np.asarray(wp(head_qp, bst.params, bst.ema.shadow, dparams,
@@ -421,6 +426,9 @@ def main():
         if c > 0.999:
             warm_skip_used = skip
             break
+
+    if 2 not in warm_pipes:   # keep the r4-comparable skip-2 number
+        warm_pipes[2] = make_warm_pipeline(2, head_kvc)
 
     def warm_tick_for(skip):
         wp = warm_pipes[skip]
@@ -508,32 +516,40 @@ def main():
     #    chaotically amplifies ANY rounding-level condition change, so a
     #    fixed 0.999 chunk gate is unattainable for every vision variant
     #    including pure reordering.  The int8 tier therefore gates on
-    #    token corr > 0.999 AND chunk corr within 0.002 of the measured
-    #    reorder floor (quantization must add nothing beyond rounding
-    #    chaos).  On trained weights the chunk-level amplification
-    #    disappears (trained maps are smooth in their conditions); the
-    #    token gate is the transferable guarantee.
-    kf = jax.random.PRNGKey(321)
-    tick_flax = np.asarray(full_cold(head_qp, vparams, bst.params,
-                                     bst.ema.shadow, dparams, kf, state10),
-                           np.float32)
+    #    token corr > 0.999 AND chunk corr at the measured reorder floor.
+    #    Both corrs are MEANS OVER K KEYS and the floor margin is
+    #    calibrated from the control's own per-key spread (one key's corr
+    #    moves ±0.003 run to run — a single-key comparison at a fixed
+    #    margin once failed the tier by 4e-4, i.e. by noise).  On trained
+    #    weights the chunk-level amplification disappears (trained maps
+    #    are smooth in their conditions); the token gate is the
+    #    transferable guarantee.
+    gate_keys = [jax.random.PRNGKey(321 + 7 * i) for i in range(4)]
+    ticks_flax = [np.asarray(full_cold(head_qp, vparams, bst.params,
+                                       bst.ema.shadow, dparams, kf, state10),
+                             np.float32) for kf in gate_keys]
     tok_flax = np.asarray(P.encode_frames(pcfg, vparams, frames6, fmask6),
                           np.float32)
 
     def vision_corrs(vp):
-        out = np.asarray(full_cold(head_qp, vp, bst.params, bst.ema.shadow,
-                                   dparams, kf, state10), np.float32)
-        tick_c = float(np.corrcoef(tick_flax.ravel(), out.ravel())[0, 1])
+        tick_cs = []
+        for kf, want in zip(gate_keys, ticks_flax):
+            out = np.asarray(full_cold(head_qp, vp, bst.params,
+                                       bst.ema.shadow, dparams, kf,
+                                       state10), np.float32)
+            tick_cs.append(float(np.corrcoef(want.ravel(),
+                                             out.ravel())[0, 1]))
         tok = np.asarray(P.encode_frames(pcfg, vp, frames6, fmask6),
                          np.float32)
         tok_c = float(np.corrcoef(tok_flax.ravel(), tok.ravel())[0, 1])
-        return tok_c, tick_c
+        return tok_c, float(np.mean(tick_cs)), float(np.std(tick_cs))
 
-    tokc_vserve, corr_vserve = vision_corrs(vparams_serve)
-    tokc_vint8, corr_vint8 = vision_corrs(vparams_int8)
+    tokc_vserve, corr_vserve, std_vserve = vision_corrs(vparams_serve)
+    tokc_vint8, corr_vint8, _ = vision_corrs(vparams_int8)
+    vgate_margin = max(0.002, 2.0 * std_vserve)
     ok_vserve = np.isfinite(corr_vserve) and tokc_vserve > 0.999
     ok_vint8 = bool(np.isfinite(corr_vint8) and tokc_vint8 > 0.999
-                    and corr_vint8 >= corr_vserve - 0.002)
+                    and corr_vint8 >= corr_vserve - vgate_margin)
     if ok_vint8:
         vis_params_used, vision_path = vparams_int8, "siglip-int8-w8a8"
     elif ok_vserve:
@@ -725,9 +741,9 @@ def main():
         # warm refined chunk vs the cold chunk at the same key.  The
         # headline warm skip count is the largest with corr > 0.999.
         "int8_warm2_ms": round(p50_warm2, 2),
+        "warm_chunk_corr_vs_cold": {str(k): round(v, 5)
+                                    for k, v in sorted(warm_corrs.items())},
         "warm2_chunk_corr_vs_cold": round(warm_corrs.get(2, float("nan")), 5),
-        "warm1_chunk_corr_vs_cold": round(warm_corrs.get(1, float("nan")), 5)
-        if 1 in warm_corrs else None,
         "warm_skip_used": warm_skip_used,
         "int8_warm_used_ms": round(p50_warm_used, 2),
         # FULL control tick = SigLIP(6 imgs) + RDT chunk + BRIDGeR
@@ -746,6 +762,10 @@ def main():
         "siglip_int8_token_corr": round(tokc_vint8, 5),
         "siglip_serve_tick_corr": round(corr_vserve, 5),
         "siglip_int8_tick_corr": round(corr_vint8, 5),
+        # gate calibration: corrs above are means over 4 keys; the int8
+        # tier passes within this margin of the serve-bf16 control floor
+        # (max(0.002, 2 x the control's per-key std))
+        "siglip_gate_margin": round(vgate_margin, 5),
         # the franka deployment operating point: left wrist statically
         # absent -> SigLIP encodes 4 (cold) / 2 (warm) images, background
         # tokens spliced in exactly

@@ -45,6 +45,8 @@ def main():
 
     sp_bf16 = jax.jit(lambda p: VS.quantize_vit_params(p, "bf16"))(params)
     sp_int8 = jax.jit(lambda p: VS.quantize_vit_params(p, "int8"))(params)
+    sp_mixed = jax.jit(lambda p: VS.quantize_vit_params(
+        p, "int8", keep_bf16_last=2))(params)
 
     @jax.jit
     def flax_fwd(p, x):
@@ -73,7 +75,8 @@ def main():
     results["flax_bf16_ms"] = round(t_flax, 2)
     refn = np.asarray(ref, np.float32)
     for name, (fn, p) in {"serve_bf16": (serve_fwd, sp_bf16),
-                          "serve_int8": (serve_fwd, sp_int8)}.items():
+                          "serve_int8": (serve_fwd, sp_int8),
+                          "serve_int8_keep2": (serve_fwd, sp_mixed)}.items():
         t, out = measure(fn, p)
         results[name + "_ms"] = round(t, 2)
         c = np.corrcoef(refn.ravel(),

@@ -42,7 +42,8 @@ from vla_touch_tpu.ops.attention import dot_product_attention
 from vla_touch_tpu.ops.quant import is_linear, qdense, quantize_tree
 
 
-def quantize_vit_params(params: dict, weights: str = "int8") -> dict:
+def quantize_vit_params(params: dict, weights: str = "int8",
+                        keep_bf16_last: int = 0) -> dict:
     """Prepare a ``ViTEncoder``/``SiglipVisionEncoder`` flax tree for the
     serving twin.
 
@@ -58,7 +59,13 @@ def quantize_vit_params(params: dict, weights: str = "int8") -> dict:
     The per-block q/k/v Denses are FUSED into one (D, 3D) ``qkv`` leaf:
     one activation-quant pass and one 3x-wider MXU matmul instead of three
     (the per-output-channel scales concatenate exactly, so the math is
-    unchanged)."""
+    unchanged).
+
+    ``keep_bf16_last``: number of FINAL blocks whose matmuls stay bf16
+    under ``weights='int8'``.  Late-block quantization error lands
+    directly on the output tokens (no later mixing to average it out);
+    keeping the last 2 of SigLIP's 27 blocks bf16 buys most of the
+    accuracy back for ~7% of the speedup."""
     def fuse_qkv(node):
         if not (isinstance(node, dict) and "attention" in node
                 and "query" in node.get("attention", {})):
@@ -82,11 +89,40 @@ def quantize_vit_params(params: dict, weights: str = "int8") -> dict:
 
     params = prep(params, ())
 
+    def _block_idx(path):
+        for p in path:
+            if p.startswith("block"):
+                return int(p[len("block"):])
+        return None
+
     def in_block(path, leaf):
-        return any(p.startswith("block") for p in path)
+        return _block_idx(path) is not None
 
     if weights == "int8":
-        return quantize_tree(params, in_block)
+        vp = params.get("vit", params)
+        n_blocks = sum(1 for k in vp if k.startswith("block"))
+        cut = n_blocks - keep_bf16_last
+
+        def quant_pred(path, leaf):
+            i = _block_idx(path)
+            return i is not None and i < cut
+
+        qt = quantize_tree(params, quant_pred)
+        if keep_bf16_last > 0:
+            def cast_kept(node, path):
+                i = _block_idx(path)
+                if is_linear(node) and i is not None and i >= cut:
+                    out = {"kernel": jnp.asarray(node["kernel"],
+                                                 jnp.bfloat16)}
+                    if "bias" in node:
+                        out["bias"] = jnp.asarray(node["bias"], jnp.float32)
+                    return out
+                if isinstance(node, dict):
+                    return {k: cast_kept(v, path + (k,))
+                            for k, v in node.items()}
+                return node
+            qt = cast_kept(qt, ())
+        return qt
     assert weights == "bf16", weights
 
     def rec(node, path):
