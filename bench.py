@@ -415,6 +415,8 @@ def main():
     warm_corrs = {}
     warm_pipes = {}
     warm_skip_used = 0
+    # 3 and 2 are always gated (2 is the r4-comparable point); 1 only as
+    # the fallback.  warm_skip_used = the LARGEST skip passing 0.999.
     for skip in (3, 2, 1):
         wp = make_warm_pipeline(skip, head_kvc)
         warm_pipes[skip] = wp
@@ -424,11 +426,9 @@ def main():
         c = float(np.corrcoef(cold_at_k.ravel(), wout.ravel())[0, 1])
         warm_corrs[skip] = c
         if c > 0.999:
-            warm_skip_used = skip
+            warm_skip_used = max(warm_skip_used, skip)
+        if skip <= 2 and warm_skip_used:
             break
-
-    if 2 not in warm_pipes:   # keep the r4-comparable skip-2 number
-        warm_pipes[2] = make_warm_pipeline(2, head_kvc)
 
     def warm_tick_for(skip):
         wp = warm_pipes[skip]
@@ -743,7 +743,8 @@ def main():
         "int8_warm2_ms": round(p50_warm2, 2),
         "warm_chunk_corr_vs_cold": {str(k): round(v, 5)
                                     for k, v in sorted(warm_corrs.items())},
-        "warm2_chunk_corr_vs_cold": round(warm_corrs.get(2, float("nan")), 5),
+        "warm2_chunk_corr_vs_cold": (round(warm_corrs[2], 5)
+                                     if 2 in warm_corrs else None),
         "warm_skip_used": warm_skip_used,
         "int8_warm_used_ms": round(p50_warm_used, 2),
         # FULL control tick = SigLIP(6 imgs) + RDT chunk + BRIDGeR
