@@ -31,3 +31,21 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_compile_state():
+    """Drop jit/lowering caches after each test module.
+
+    The full suite compiles many hundreds of XLA:CPU programs in one
+    process; with everything kept alive the LLVM JIT state grows without
+    bound and two 60-minute suite runs segfaulted inside
+    ``backend_compile_and_load`` late in the run (the same tests pass in
+    isolation).  Modules are compile-independent, so clearing between
+    them bounds the live state at negligible recompile cost.
+    """
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
